@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI driver for the crawl engine: generates the deterministic corpus, runs
+  * (or resumes) the BSP crawl loop, prints per-batch metrics and the hottest
+  * frontier rows. Usage:
+  *   runMain graft.CrawlDemo <stateDir> [nDocs=300] [batches=6] [batchSize=40] [query="..."]
+  */
+object CrawlDemo {
+  def main(args: Array[String]): Unit = {
+    val stateDir = args.headOption.getOrElse(sys.error("usage: CrawlDemo <stateDir> [nDocs] [batches] [batchSize] [query]"))
+    val nDocs = args.lift(1).map(_.toInt).getOrElse(300)
+    val batches = args.lift(2).map(_.toInt).getOrElse(6)
+    val batchSize = args.lift(3).map(_.toInt).getOrElse(40)
+    val query = args.lift(4)
+    val seed = 42L
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = CrawlConfig(batchSize = batchSize, perHostCap = 4,
+      maxBatches = batches, nBuckets = 8, saltBuckets = 4, minTokens = 50)
+
+    val res = CrawlLoop.run(spark,
+      Corpus.documents(spark, seed, nDocs).toDF(),
+      Corpus.robots(spark).toDF(),
+      Corpus.seedsDs(spark, nDocs).toDF(),
+      cfg, stateDir, seed, nDocs)
+
+    println(f"${"batch"}%5s ${"popped"}%7s ${"denied"}%7s ${"fetched"}%8s ${"links"}%7s ${"dups"}%6s ${"fresh"}%6s ${"frontier"}%9s ${"ms"}%6s")
+    res.batches.foreach { m =>
+      println(f"${m.batch}%5d ${m.popped}%7d ${m.robotsDenied}%7d ${m.fetched}%8d ${m.linksAdmitted}%7d ${m.duplicateHits}%6d ${m.freshUrls}%6d ${m.frontierSize}%9d ${m.elapsedMs}%6d")
+    }
+    val manifest = Snapshots.readCurrent(stateDir).get
+    println(s"\nmanifest: batch=${manifest.batch} phase=${manifest.phase} buckets=${manifest.perBucketRows.size}")
+    println("\ntop frontier entries by priority:")
+    spark.read.parquet(manifest.frontierPath)
+      .orderBy(org.apache.spark.sql.functions.col("priority").desc).limit(8).show(false)
+
+    query.foreach { q =>
+      // index everything fetchable and run a search
+      val docs = Corpus.documents(spark, seed, nDocs).toDF()
+      val ok = Fetcher.okHtml(docs.withColumnRenamed("doc_id", "url"))
+      val (postings, docmeta) = Indexer.index(ok, cfg, epoch = 0)
+      println(s"\nsearch: '$q'")
+      Search.search(spark, postings, docmeta, q, topK = 10, termCountGate = 0).show(false)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The crawl as deterministic BSP supersteps (replacing the reference's
+  * actor/channel feedback loop, SURVEY §2.9 ST2):
+  *
+  *   pop → commit popbatch → robots gate → fetch join → parse/extract →
+  *   frontier merge (insert-or-increment + popped marking) → seen-filter
+  *   update → snapshot commit (+ metrics, per-bucket lineage)
+  *
+  * Terminates when a pop batch comes back empty (ST4's analog) or after
+  * cfg.maxBatches. Each superstep's frontier is re-read from its committed
+  * parquet snapshot, which (a) keeps the plan lineage flat across arbitrarily
+  * many supersteps, and (b) makes every superstep resumable for free.
+  */
+object CrawlLoop {
+
+  final case class CrawlResult(batches: Seq[BatchMetrics], stateDir: String) {
+    def totalPopped: Long = batches.map(_.popped).sum
+    def totalLinks: Long = batches.map(_.linksAdmitted).sum
+  }
+
+  /** Run (or resume) a crawl. `documents`/`robots` are the corpus tables;
+    * `seeds` only seeds batch 0 of a fresh run. */
+  def run(
+      spark: SparkSession,
+      documents: DataFrame,
+      robots: DataFrame,
+      seeds: DataFrame,
+      cfg: CrawlConfig,
+      stateDir: String,
+      seed: Long = 42L,
+      nDocs: Int = 0,
+      maintainFilters: Boolean = true): CrawlResult = {
+
+    import Snapshots._
+
+    val metricsOut = Seq.newBuilder[BatchMetrics]
+    var batch = 0
+    var frontier: DataFrame = null
+    var pendingPop: Option[DataFrame] = None
+    var filtersPath: String = ""
+
+    readCurrent(stateDir) match {
+      case Some(m) =>
+        // resume from checkpoint: the manifest names the committed frontier
+        // and (if the crash hit mid-superstep) the already-popped batch.
+        metricsOut ++= readMetrics(spark, stateDir)
+        frontier = spark.read.parquet(m.frontierPath)
+        filtersPath = m.filtersPath
+        if (m.phase == "pop") {
+          batch = m.batch
+          pendingPop = Some(spark.read.parquet(m.popBatchPath))
+        } else {
+          batch = m.batch + 1
+        }
+      case None =>
+        frontier = Frontier.fromSeeds(spark, seeds, cfg)
+        val p = frontierPath(stateDir, -1)
+        frontier.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(p)
+        frontier = spark.read.parquet(p)
+    }
+
+    val t0 = System.nanoTime()
+    var done = false
+    while (!done && batch < cfg.maxBatches) {
+      val tb = System.nanoTime()
+
+      // ---- phase 1: pop + commit (politeness window boundary) ----
+      val pop = pendingPop match {
+        case Some(p) => p
+        case None =>
+          val p = Frontier.popBatch(frontier, cfg)
+          p.write.mode(SaveMode.Overwrite).parquet(popBatchPath(stateDir, batch))
+          val committed = spark.read.parquet(popBatchPath(stateDir, batch))
+          Snapshots.commit(stateDir, Manifest(
+            batch, "pop",
+            frontierPath = if (batch == 0) frontierPath(stateDir, -1) else frontierPath(stateDir, batch - 1),
+            popBatchPath = popBatchPath(stateDir, batch),
+            filtersPath = filtersPath, perBucketRows = Map.empty,
+            metrics = None, seed = seed, nDocs = nDocs))
+          committed
+      }
+      pendingPop = None
+      val popped = pop.count()
+      if (popped == 0) { done = true }
+      else {
+        // ---- phase 2: robots gate → fetch → parse ----
+        val allowed = Robots.allowedBatch(pop, robots)
+        val fetchedAll = Fetcher.fetch(allowed, documents)
+        val ok = Fetcher.okHtml(fetchedAll).persist()
+        val fetched = ok.count()
+        val matched = fetchedAll.count()
+        val allowedCount = allowed.count()
+        val robotsDenied = popped - allowedCount
+        val fetchErrors = allowedCount - matched
+
+        val links = Parser.linksOf(ok, cfg).persist()
+        val linksAdmitted = links.count()
+        val linkAgg = links.groupBy(col("url"), col("host"))
+          .agg(sum(col("weight")).as("weight"))
+
+        // ---- phase 3: frontier merge + metrics in one pass ----
+        val merged = Frontier.merge(frontier, linkAgg, pop, cfg).persist()
+        val byBucket = merged.groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          sum(when(col("was_existing") === 1 && col("was_incoming") === 1, 1L)
+            .otherwise(0L)).as("dups"),
+          sum(when(col("was_existing") === 0 && col("was_incoming") === 1, 1L)
+            .otherwise(0L)).as("fresh")).collect()
+        val frontierSize = byBucket.map(_.getLong(1)).sum
+        val duplicateHits = byBucket.map(_.getLong(2)).sum
+        val freshUrls = byBucket.map(_.getLong(3)).sum
+        val perBucketRows = byBucket.map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+
+        val newFrontier = merged.select("url", "host", "bucket", "priority", "popped")
+        val fPath = frontierPath(stateDir, batch)
+        newFrontier.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(fPath)
+
+        // ---- phase 4: incremental seen-filter update (bloom + cuckoo) ----
+        val newFiltersPath = Snapshots.filtersPath(stateDir, batch)
+        if (maintainFilters) {
+          val freshUrlsDf = merged
+            .filter(col("was_existing") === 0)
+            .select(col("url"), col("bucket"))
+          val built = SeenSet.buildFilters(freshUrlsDf,
+            expectedPerBucket = math.max(1024L, 4L * cfg.batchSize / cfg.nBuckets))
+          val updated =
+            if (filtersPath.isEmpty) built
+            else SeenSet.mergeFilterTables(spark.read.parquet(filtersPath), built)
+          updated.write.mode(SaveMode.Overwrite).parquet(newFiltersPath)
+          filtersPath = newFiltersPath
+        }
+
+        val m = BatchMetrics(
+          batch = batch, popped = popped, robotsDenied = robotsDenied,
+          fetched = fetched, fetchErrors = fetchErrors,
+          linksExtracted = linksAdmitted, linksAdmitted = linksAdmitted,
+          duplicateHits = duplicateHits, freshUrls = freshUrls,
+          frontierSize = frontierSize,
+          elapsedMs = (System.nanoTime() - tb) / 1000000L)
+        metricsOut += m
+        writeMetrics(spark, stateDir, m)
+
+        Snapshots.commit(stateDir, Manifest(
+          batch, "done", frontierPath = fPath,
+          popBatchPath = popBatchPath(stateDir, batch),
+          filtersPath = filtersPath,
+          perBucketRows = perBucketRows, metrics = Some(m),
+          seed = seed, nDocs = nDocs))
+
+        ok.unpersist(); links.unpersist(); merged.unpersist()
+        frontier = spark.read.parquet(fPath)
+        batch += 1
+      }
+    }
+    val _ = t0
+    CrawlResult(metricsOut.result(), stateDir)
+  }
+
+  private def writeMetrics(spark: SparkSession, root: String, m: BatchMetrics): Unit = {
+    import spark.implicits._
+    Seq(m).toDS().write.mode(SaveMode.Append).parquet(Snapshots.metricsPath(root))
+  }
+
+  def readMetrics(spark: SparkSession, root: String): Seq[BatchMetrics] = {
+    import spark.implicits._
+    val p = Snapshots.metricsPath(root)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq.empty
+    else spark.read.parquet(p).as[BatchMetrics].collect().toSeq.sortBy(_.batch)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The URL frontier as a typed, hash-bucketed Dataset.
+  *
+  * Reference: 64 disk-backed priority queues of sorted (url, count, popped)
+  * pages (src/pqueue.rs, src/page.rs). Relationally the whole structure is
+  * one table `frontier(url, host, bucket, priority, popped)`:
+  *   - the B-tree page/range machinery (src/pagebounds.rs) is storage — it
+  *     becomes hash bucketing + parquet min/max pruning;
+  *   - the per-page `value` (max un-popped count, src/page.rs:82-88) is only
+  *     needed transiently at pop time — a window max;
+  *   - insert-or-increment (src/pqueue.rs:153-185, src/page.rs:30-51) is a
+  *     union + groupBy(url) merge with `popped` surviving via max().
+  */
+object Frontier {
+
+  /** Frontier shard routing: reference hashes url → 64 pqueues
+    * (src/main.rs:322-325); we standardize on xxhash64 (SURVEY §2.3 L6). */
+  def bucketCol(url: Column, nBuckets: Int): Column =
+    pmod(xxhash64(url), lit(nBuckets)).cast("int")
+
+  def empty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[FrontierEntry].toDF()
+  }
+
+  /** Seed injection (reference: inc_url(root_set, 1), src/main.rs:337-339). */
+  def fromSeeds(spark: SparkSession, seeds: DataFrame, cfg: CrawlConfig): DataFrame =
+    seeds.select(
+      col("url"),
+      UrlOps.hostCol(col("url")).as("host"),
+      bucketCol(col("url"), cfg.nBuckets).as("bucket"),
+      col("weight").cast("long").as("priority"),
+      lit(false).as("popped"))
+
+  /** Insert-or-increment merge of one batch of links + pop markers.
+    *
+    * Exactly the reference's A1 semantics (src/page.rs:30-51):
+    *   - existing url: priority += sum(weights) — even when popped;
+    *   - new url: inserted with priority = sum(weights), popped = false;
+    *   - popped entries NEVER lose their flag (max(popped) over the union), so
+    *     re-discovered URLs are never re-fetched (SURVEY §7.4 risk 2).
+    *
+    * One shuffle (the groupBy on url); links arrive already partially
+    * aggregated per (url) map-side by the hash aggregate. The returned frame
+    * carries `was_existing` / `was_incoming` flags so the caller derives the
+    * duplicate-hit / fresh-URL metrics (src/monitor.rs:57-59) from the same
+    * pass — no extra join.
+    */
+  def merge(frontier: DataFrame, links: DataFrame, poppedUrls: DataFrame,
+            cfg: CrawlConfig): DataFrame = {
+    val existing = frontier.select(
+      col("url"), col("host"), col("priority"), col("popped"),
+      lit(1).as("src_existing"), lit(0).as("src_incoming"))
+    val incoming = links.select(
+      col("url"), col("host"), col("weight").cast("long").as("priority"),
+      lit(false).as("popped"), lit(0).as("src_existing"), lit(1).as("src_incoming"))
+    val popMarkers = poppedUrls.select(
+      col("url"), col("host"), lit(0L).as("priority"), lit(true).as("popped"),
+      lit(0).as("src_existing"), lit(0).as("src_incoming"))
+    existing.unionByName(incoming).unionByName(popMarkers)
+      .groupBy(col("url"))
+      .agg(
+        max(col("host")).as("host"),
+        sum(col("priority")).as("priority"),
+        max(col("popped")).as("popped"),
+        max(col("src_existing")).as("was_existing"),
+        max(col("src_incoming")).as("was_incoming"))
+      .withColumn("bucket", bucketCol(col("url"), cfg.nBuckets))
+  }
+
+  /** Pop batch: global top-B by (priority desc, url asc) subject to a
+    * per-host politeness cap of k (north star: "priority queue re-expressed
+    * as a typed Dataset sorted by (priority, host-bucket, fetch-deadline)").
+    *
+    * Deterministic re-expression of the reference's racy pop order
+    * (SURVEY §7.4 risk 1): within a superstep the pop set is defined by this
+    * rule, and the golden oracle implements the identical rule sequentially.
+    *
+    * Skew: one hot host can hold most of the frontier (fixture gives it 30%).
+    * A plain Window.partitionBy(host) would sort that host's millions of
+    * candidates in ONE task. Two-phase salted top-k bounds it
+    * (north_rule's "salted repartitioning to defuse hot-host skew"):
+    *   phase 1: top-k per (host, salt) with salt = xxhash64(url) % S
+    *            → every task sees ≤ 1/S of any host;
+    *   phase 2: top-k per host over the ≤ S·k survivors — tiny.
+    * Exact: any global per-host top-k row is also in its salt's top-k.
+    */
+  def popBatch(frontier: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val candidates = frontier.filter(!col("popped"))
+      .select("url", "host", "bucket", "priority")
+    val salted = candidates.withColumn(
+      "salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.saltBuckets)))
+    val phase1 = salted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host"), col("salt"))
+          .orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= cfg.perHostCap).drop("rk", "salt")
+    val phase2 = phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= cfg.perHostCap).drop("rk")
+    // global budget: TakeOrderedAndProject — no full sort materialized
+    phase2.orderBy(col("priority").desc, col("url").asc).limit(cfg.batchSize)
+  }
+}

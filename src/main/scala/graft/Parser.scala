@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link + term extraction.
+  *
+  * The regex semantics are the reference's (src/main.rs:64-67):
+  *   link_re    = href=['"][^'"]+['"]
+  *   body_re    = (?s)<(body|/script|/style)([^<>]*)>.*?(</body>|<script|<style)
+  *   tag_text_re= >([^<>]+)
+  *   term_re    = [a-zA-Z]+
+  * java.util.regex and the rust regex crate agree on these patterns, so the
+  * Spark engine (Catalyst regexp functions / UDF) and the sequential oracle
+  * share behavior exactly.
+  */
+object Parser {
+
+  val LinkRe = """href=['"][^'"]+['"]"""
+  val BodyRe = """(?s)<(body|/script|/style)([^<>]*)>.*?(</body>|<script|<style)"""
+  val TagTextRe = """>([^<>]+)"""
+  val TermRe = """[a-zA-Z]+"""
+
+  private val linkPat = LinkRe.r
+  private val bodyPat = BodyRe.r
+  private val tagTextPat = TagTextRe.r
+  private val termPat = TermRe.r
+
+  /** Assemble the document's raw-HTML view: text spans sorted by offset,
+    * concatenated (media spans contribute no text). */
+  def htmlOf(spans: Seq[Span]): String =
+    spans.filter(_.kind == "text").sortBy(_.offset).map(_.text).mkString
+
+  /** The full add_links admission pipeline (reference src/main.rs:216-254),
+    * in the reference's exact order:
+    *  1. no base domain → no links
+    *  2. regex-extract hrefs, strip `href='`/trailing quote, RFC-resolve
+    *     against base (failures dropped)
+    *  3. if ANY resolved link is a trap → drop ALL links from this page
+    *  4. cross-domain flag vs domain_root(base)
+    *  5. canonicalize (strip query+fragment)
+    *  6. admission: !clearly_not_html, len<=max, valid URI
+    *  7. weight = crossDomainBonus | 1
+    * Duplicate URLs stay duplicated — each is one frontier increment.
+    */
+  def extractLinks(baseUrl: String, html: String, maxUrlLen: Int,
+                   crossDomainBonus: Long): Seq[(String, Long)] = {
+    val baseHost = UrlOps.host(baseUrl).getOrElse(return Seq.empty)
+    val baseRoot = UrlOps.domainRoot(baseHost)
+    val resolved = linkPat.findAllIn(html)
+      .map(m => m.substring(6, m.length - 1))
+      .flatMap(href => UrlOps.resolve(baseUrl, href))
+      .toSeq
+    if (resolved.flatMap(UrlOps.looksLikeATrap).exists(identity)) return Seq.empty
+    resolved
+      .map { link =>
+        val cross = UrlOps.host(link) match {
+          case Some(h) => UrlOps.domainRoot(h) != baseRoot
+          case None => false
+        }
+        (link, cross)
+      }
+      .flatMap { case (link, cross) =>
+        UrlOps.canonicalize(link).map(c => (c, cross))
+      }
+      .filter { case (u, _) => !UrlOps.clearlyNotHtml(u) }
+      .filter { case (u, _) => u.length <= maxUrlLen }
+      .filter { case (u, _) => UrlOps.isValidUri(u) }
+      .map { case (u, cross) => (u, if (cross) crossDomainBonus else 1L) }
+  }
+
+  /** Term stream of a document (reference index_document, src/main.rs:256-267):
+    * body sections → tag texts → lowercase [a-zA-Z]+ terms, all occurrences. */
+  def extractTerms(html: String): Seq[String] =
+    bodyPat.findAllIn(html).toSeq.flatMap { section =>
+      tagTextPat.findAllMatchIn(section).map(_.group(1)).flatMap { tagText =>
+        termPat.findAllIn(tagText).map(_.toLowerCase)
+      }
+    }
+
+  // ---------------------------------------------------------------------------
+  // Spark side
+  // ---------------------------------------------------------------------------
+
+  /** html column from a spans column (array<struct<kind,text,media_ref,offset>>):
+    * pure Catalyst — filter to text spans, sort by offset, concat. Enforces the
+    * input_hint's span ordering invariant declaratively. */
+  def htmlCol(spans: Column): Column = {
+    val sorted = array_sort(
+      filter(spans, s => s.getField("kind") === "text"),
+      (a, b) => when(a.getField("offset") < b.getField("offset"), -1)
+        .when(a.getField("offset") > b.getField("offset"), 1).otherwise(0))
+    array_join(transform(sorted, s => s.getField("text")), "")
+  }
+
+  /** Link extraction as a single-pass UDF returning array<struct<url,weight>>.
+    *
+    * Deliberately ONE UDF rather than explode+per-link UDFs: the trap rule is
+    * a page-level ANY-aggregate over links (src/main.rs:228-230), which as
+    * separate operators would force a groupBy/window shuffle per page before
+    * admission filtering. Doing the whole per-page pipeline in one pass keeps
+    * link extraction narrow (no shuffle until the frontier merge) — at 100 TB
+    * that removes an entire shuffle stage of pre-admission links.
+    */
+  private def linkUdf(maxUrlLen: Int, bonus: Long) =
+    udf((base: String, html: String) =>
+      extractLinks(base, html, maxUrlLen, bonus).map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) })
+
+  /** fetched docs (url, spans) → admitted links (url, host, weight). */
+  def linksOf(fetched: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val withHtml = fetched.withColumn("html", htmlCol(col("spans")))
+    withHtml
+      .select(explode(linkUdf(cfg.maxUrlLen, cfg.crossDomainBonus)(col("url"), col("html"))).as("l"))
+      .select(col("l.url").as("url"), col("l.host").as("host"), col("l.weight").as("weight"))
+  }
+
+  /** Term extraction as pure Catalyst nested regexp extraction (codegen'd,
+    * no UDF on the token hot path): sections → tag texts → terms. */
+  def termsCol(html: Column): Column = {
+    val sections = regexp_extract_all(html, lit(BodyRe), lit(0))
+    val tagTexts = flatten(transform(sections, s => regexp_extract_all(s, lit(TagTextRe), lit(1))))
+    flatten(transform(tagTexts, t => regexp_extract_all(lower(t), lit(TermRe), lit(0))))
+  }
+}

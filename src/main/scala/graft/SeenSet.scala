@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+
+/** Partial-key (fingerprint) cuckoo filter.
+  *
+  * The reference's URL-seen set is a 20 GB Bloom filter sized for 10^10 URLs
+  * (src/main-old.rs:57-58,190-196). BASELINE.json's north star asks for a
+  * partitioned cuckoo-filter + Bloom-filter seen set: the cuckoo variant adds
+  * deletion (Bloom can't) so frontier entries can be retired/re-queued.
+  *
+  * Standard design (Fan et al., "Cuckoo Filter: Practically Better Than
+  * Bloom", CoNEXT 2014): b buckets × 4 slots of 16-bit fingerprints;
+  * alt bucket = i XOR hash(fp), so any stored (bucket, fp) pair can be
+  * relocated — and two filters with identical geometry can be merged by
+  * re-inserting one's (bucket, fp) pairs into the other.
+  */
+final class CuckooFilter(val numBuckets: Int) extends Serializable {
+  require(Integer.bitCount(numBuckets) == 1, "numBuckets must be a power of 2")
+  val SlotsPerBucket = 4
+  private val mask = numBuckets - 1
+  // 0 = empty slot; fingerprints are forced nonzero
+  private[graft] val table = new Array[Short](numBuckets * SlotsPerBucket)
+  private var kickSeed = 0x9e3779b9
+
+  @inline private def slot(b: Int, s: Int): Int = b * SlotsPerBucket + s
+
+  private def fingerprint(h: Long): Short = {
+    val fp = ((h >>> 48) & 0xffff).toShort
+    if (fp == 0) 1.toShort else fp
+  }
+  private def index1(h: Long): Int = (h & mask).toInt
+  private def altIndex(i: Int, fp: Short): Int =
+    (i ^ (CuckooFilter.mix(fp & 0xffffL) & mask)).toInt
+
+  private def tryInsertAt(i: Int, fp: Short): Boolean = {
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(slot(i, s)) == 0) { table(slot(i, s)) = fp; return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Insert a pre-hashed key; false when the filter is saturated. */
+  def insertHash(h: Long): Boolean = insertPair(index1(h), fingerprint(h))
+
+  /** Insert from a stored (bucket, fingerprint) pair — the merge primitive. */
+  def insertPair(i0: Int, fp0: Short): Boolean = {
+    var i = i0
+    var fp = fp0
+    if (tryInsertAt(i, fp) || tryInsertAt(altIndex(i, fp), fp)) return true
+    // evict loop (bounded); victim chosen by a deterministic LCG so runs are
+    // reproducible
+    var kicks = 0
+    while (kicks < 500) {
+      kickSeed = kickSeed * 1664525 + 1013904223
+      val victim = slot(i, (kickSeed >>> 16) & (SlotsPerBucket - 1))
+      val old = table(victim)
+      table(victim) = fp
+      fp = old
+      i = altIndex(i, fp)
+      if (tryInsertAt(i, fp)) return true
+      kicks += 1
+    }
+    false
+  }
+
+  def insert(key: String): Boolean = insertHash(CuckooFilter.hash64(key))
+
+  def contains(key: String): Boolean = containsHash(CuckooFilter.hash64(key))
+
+  def containsHash(h: Long): Boolean = {
+    val fp = fingerprint(h)
+    val i1 = index1(h)
+    val i2 = altIndex(i1, fp)
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(slot(i1, s)) == fp || table(slot(i2, s)) == fp) return true
+      s += 1
+    }
+    false
+  }
+
+  /** Delete one copy of the key's fingerprint (the capability Bloom lacks). */
+  def delete(key: String): Boolean = {
+    val h = CuckooFilter.hash64(key)
+    val fp = fingerprint(h)
+    val i1 = index1(h)
+    val i2 = altIndex(i1, fp)
+    var s = 0
+    while (s < SlotsPerBucket) {
+      if (table(slot(i1, s)) == fp) { table(slot(i1, s)) = 0; return true }
+      if (table(slot(i2, s)) == fp) { table(slot(i2, s)) = 0; return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Merge another filter of identical geometry into this one. */
+  def merge(other: CuckooFilter): CuckooFilter = {
+    require(other.numBuckets == numBuckets, "geometry mismatch")
+    var i = 0
+    while (i < other.table.length) {
+      val fp = other.table(i)
+      if (fp != 0) insertPair(i / SlotsPerBucket, fp)
+      i += 1
+    }
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + table.length * 2)
+    buf.putInt(numBuckets)
+    table.foreach(buf.putShort)
+    buf.array()
+  }
+}
+
+object CuckooFilter {
+  /** 64-bit FNV-1a over UTF-8 bytes, finalized with a splitmix64 mix —
+    * deterministic, dependency-free. (The reference uses metro hash64,
+    * src/main.rs:24; the hash choice is internal, SURVEY §2.8 X5.) */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix(h)
+  }
+
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Buckets sized for n items at ~95% load (4 slots/bucket). */
+  def forCapacity(n: Long): CuckooFilter = {
+    val needed = math.max(16L, Integer.highestOneBit(
+      math.max(16, (n / 4 * 100 / 95).toInt - 1)) * 2L)
+    new CuckooFilter(needed.toInt)
+  }
+
+  def deserialize(bytes: Array[Byte]): CuckooFilter = {
+    val buf = ByteBuffer.wrap(bytes)
+    val f = new CuckooFilter(buf.getInt)
+    var i = 0
+    while (i < f.table.length) { f.table(i) = buf.getShort; i += 1 }
+    f
+  }
+}
+
+/** Per-partition filter construction as typed Aggregators (SURVEY §2.10:
+  * cuckoo = the one genuinely custom aggregate; Bloom wraps Spark's built-in
+  * sketch so the two coexist as the north star asks). */
+object SeenSet {
+
+  final class CuckooAggregator(expectedPerGroup: Long)
+      extends Aggregator[String, CuckooFilter, Array[Byte]] {
+    def zero: CuckooFilter = CuckooFilter.forCapacity(expectedPerGroup)
+    def reduce(b: CuckooFilter, url: String): CuckooFilter = { b.insert(url); b }
+    def merge(b1: CuckooFilter, b2: CuckooFilter): CuckooFilter = b1.merge(b2)
+    def finish(b: CuckooFilter): Array[Byte] = b.serialize()
+    def bufferEncoder: Encoder[CuckooFilter] = Encoders.kryo[CuckooFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class BloomAggregator(expectedPerGroup: Long, fpp: Double)
+      extends Aggregator[String, BloomFilter, Array[Byte]] {
+    def zero: BloomFilter = BloomFilter.create(expectedPerGroup, fpp)
+    def reduce(b: BloomFilter, url: String): BloomFilter = { b.putString(url); b }
+    def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = { b1.mergeInPlace(b2); b1 }
+    def finish(b: BloomFilter): Array[Byte] = {
+      val out = new ByteArrayOutputStream(); b.writeTo(out); out.toByteArray
+    }
+    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Build one Bloom + one cuckoo filter per frontier bucket:
+    * filters(bucket, bloom, cuckoo). The partitioned layout is the point —
+    * at 10^10 URLs one monolithic 20 GB filter (src/main-old.rs:57) can't be
+    * broadcast, but per-bucket filters co-partitioned with the URL hash can
+    * be joined to incoming links with the links as the only shuffled side. */
+  def buildFilters(urlsWithBucket: DataFrame, expectedPerBucket: Long,
+                   fpp: Double = 0.03): DataFrame = {
+    val bloomAgg = udaf(new BloomAggregator(expectedPerBucket, fpp))
+    val cuckooAgg = udaf(new CuckooAggregator(expectedPerBucket))
+    urlsWithBucket
+      .groupBy(col("bucket"))
+      .agg(bloomAgg(col("url")).as("bloom"), cuckooAgg(col("url")).as("cuckoo"))
+  }
+
+  /** Merge two filter tables (same geometry) bucket-wise. */
+  def mergeFilterTables(a: DataFrame, b: DataFrame): DataFrame = {
+    val mergeBloom = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
+      val f1 = BloomFilter.readFrom(new ByteArrayInputStream(x))
+      f1.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(y)))
+      val out = new ByteArrayOutputStream(); f1.writeTo(out); out.toByteArray
+    })
+    val mergeCuckoo = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
+      CuckooFilter.deserialize(x).merge(CuckooFilter.deserialize(y)).serialize()
+    })
+    a.unionByName(b)
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("bloom")).as("blooms"), collect_list(col("cuckoo")).as("cuckoos"))
+      .select(col("bucket"), mergeBloom(col("blooms")).as("bloom"),
+        mergeCuckoo(col("cuckoos")).as("cuckoo"))
+  }
+
+  private val bloomContainsUdf = udf((bytes: Array[Byte], url: String) =>
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes)).mightContainString(url))
+  private val cuckooContainsUdf = udf((bytes: Array[Byte], url: String) =>
+    CuckooFilter.deserialize(bytes).contains(url))
+
+  def bloomContains(bytes: Column, url: Column): Column = bloomContainsUdf(bytes, url)
+  def cuckooContains(bytes: Column, url: Column): Column = cuckooContainsUdf(bytes, url)
+
+  /** Split candidate links into (probably-seen, definitely-new) using the
+    * per-bucket Bloom filters: links shuffle by bucket, the filter table
+    * (nBuckets rows) joins in. Bloom guarantees no false negatives, so
+    * "definitely-new" is exact — those rows skip the exact anti-join
+    * entirely (J1's shuffle-avoidance at scale, SURVEY §2.5). */
+  def splitByBloom(links: DataFrame, filters: DataFrame): (DataFrame, DataFrame) = {
+    val joined = links.join(filters.select("bucket", "bloom"), Seq("bucket"), "left")
+    val seenish = joined.filter(col("bloom").isNotNull &&
+      bloomContains(col("bloom"), col("url"))).drop("bloom")
+    val fresh = joined.filter(col("bloom").isNull ||
+      !bloomContains(col("bloom"), col("url"))).drop("bloom")
+    (seenish, fresh)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.json4s._
+import org.json4s.jackson.Serialization
+
+/** Snapshot manifests: atomic commit + per-partition lineage + resume.
+  *
+  * The reference gets durability from fsync-per-write of 16 KiB pages
+  * (src/pqueuethread.rs:86); the rebuild gets it from immutable parquet
+  * snapshot directories plus a manifest JSON committed by atomic rename —
+  * the same semantics an Iceberg snapshot commit would give (no Iceberg
+  * runtime jar in this sandbox, SURVEY §7 note; the interface is
+  * table-format-agnostic so a real catalog can slot in).
+  *
+  * Two-phase commit per superstep (SURVEY §7.4 risk 6): the pop batch is
+  * committed (phase="pop") BEFORE fetch results are applied, so a crash
+  * between pop and merge replays at most one politeness window and a resumed
+  * run re-fetches nothing beyond it.
+  */
+final case class Manifest(
+    batch: Int,
+    phase: String, // "pop" | "done"
+    frontierPath: String, // committed frontier this batch is based on
+    popBatchPath: String,
+    filtersPath: String,
+    perBucketRows: Map[String, Long], // lineage: frontier rows per bucket
+    metrics: Option[BatchMetrics],
+    seed: Long,
+    nDocs: Int)
+
+object Snapshots {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+
+  def batchDir(root: String, batch: Int): String = s"$root/batch=$batch"
+  def frontierPath(root: String, batch: Int): String = s"${batchDir(root, batch)}/frontier"
+  def popBatchPath(root: String, batch: Int): String = s"${batchDir(root, batch)}/popbatch"
+  def filtersPath(root: String, batch: Int): String = s"${batchDir(root, batch)}/filters"
+  def metricsPath(root: String): String = s"$root/metrics"
+
+  /** Atomic manifest commit: write sidecar history file, then rename a temp
+    * over the MANIFEST.json pointer (the parquet files it references are
+    * already fully written — rename is the commit point). */
+  def commit(root: String, m: Manifest): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val json = Serialization.writePretty(m)
+    Files.writeString(Paths.get(s"$root/manifest-${m.batch}-${m.phase}.json"), json)
+    val tmp = Paths.get(s"$root/.MANIFEST.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(s"$root/MANIFEST.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readCurrent(root: String): Option[Manifest] = {
+    val p = Paths.get(s"$root/MANIFEST.json")
+    if (!Files.exists(p)) None
+    else Some(Serialization.read[Manifest](Files.readString(p)))
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.net.URI
+import scala.util.Try
+
+/** Pure URL functions + Catalyst Column builders.
+  *
+  * These are the admission/normalization semantics of the reference crawler
+  * (see file:line cites per function), implemented once as plain Scala so the
+  * Spark engine (via UDF / Column exprs) and the sequential golden oracle
+  * (ReferenceOracle) share bit-identical behavior.
+  */
+object UrlOps {
+
+  /** Suffix blocklist of clearly-non-HTML resources
+    * (reference: src/main.rs:112-145, incl. the upper-case variants). */
+  val notHtmlSuffixes: Seq[String] = Seq(
+    ".css", ".js", ".mp3", ".mp4", ".m4v", ".mov", ".dmg", ".pt", ".vdi",
+    ".ova", ".m2ts", ".rmvb", ".npz", ".mat", ".data", ".xml", ".7z", ".gz",
+    ".gztar", ".pdf", ".png", ".PNG", ".ico", ".ICO", ".jpg", ".JPG",
+    ".gif", ".GIF", ".svg", ".SVG", ".json")
+
+  /** reference: src/main.rs:112-145 — suffix blocklist OR not http(s). */
+  def clearlyNotHtml(url: String): Boolean =
+    notHtmlSuffixes.exists(url.endsWith) || !url.startsWith("http")
+
+  /** Last two dot-labels of a domain; domains with <=2 labels unchanged
+    * (reference: src/main.rs:208-214). */
+  def domainRoot(domain: String): String = {
+    val labels = domain.split('.')
+    if (labels.length <= 2) domain
+    else labels.takeRight(2).mkString(".")
+  }
+
+  /** Path segments as the rust `url` crate defines them for http(s) URLs:
+    * the path without its leading '/', split on '/'; "/" → [""].
+    */
+  def pathSegments(path: String): Seq[String] = {
+    val p = if (path.startsWith("/")) path.substring(1) else path
+    p.split("/", -1).toSeq
+  }
+
+  /** Crawler-trap heuristic: >=2 duplicate path segments
+    * (reference: src/main.rs:147-159; cases in src/bin/traptest.rs:21-28). */
+  def looksLikeATrap(url: String): Option[Boolean] =
+    Try(new URI(url)).toOption
+      .flatMap(u => Option(u.getPath))
+      .map { path =>
+        val segs = pathSegments(path)
+        val dups = segs.groupBy(identity).values.map(_.size - 1).sum
+        dups >= 2
+      }
+
+  /** Host of a URL, or None (politeness key; reference: src/job.rs:22-24). */
+  def host(url: String): Option[String] =
+    Try(new URI(url)).toOption.flatMap(u => Option(u.getHost)).map(_.toLowerCase)
+
+  /** Path of a URL ('' → '/'), for robots prefix matching
+    * (reference: src/robots.rs:50). */
+  def path(url: String): String =
+    Try(new URI(url)).toOption.flatMap(u => Option(u.getRawPath))
+      .filter(_.nonEmpty).getOrElse("/")
+
+  /** RFC-3986 relative resolution against a base URL
+    * (reference: base_url.join(href), src/main.rs:225). Returns None when the
+    * href does not resolve to a parseable absolute URL. */
+  def resolve(base: String, href: String): Option[String] =
+    Try {
+      val b = new URI(base)
+      val r = b.resolve(href.trim)
+      if (r.isAbsolute) Some(r.toString) else None
+    }.toOption.flatten
+
+  /** Canonicalize: strip fragment and query (reference: set_fragment(None);
+    * set_query(None), src/main.rs:240-243), lowercase scheme+host, drop
+    * default ports, '' path → '/' (the url crate's normalizations). */
+  def canonicalize(url: String): Option[String] =
+    Try {
+      val u = new URI(url)
+      val scheme = Option(u.getScheme).map(_.toLowerCase).orNull
+      val h = Option(u.getHost).map(_.toLowerCase).orNull
+      if (scheme == null || h == null) None
+      else {
+        val port = u.getPort
+        val keepPort =
+          if ((scheme == "http" && port == 80) || (scheme == "https" && port == 443)) -1
+          else port
+        val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+        val portStr = if (keepPort == -1) "" else s":$keepPort"
+        Some(s"$scheme://$h$portStr$p")
+      }
+    }.toOption.flatten
+
+  /** Valid-URI admission check (reference: url.parse::<Uri>().is_ok(),
+    * src/main.rs:247). */
+  def isValidUri(url: String): Boolean =
+    Try(new URI(url)).map(u => u.isAbsolute && u.getHost != null).getOrElse(false)
+
+  // ---------------------------------------------------------------------------
+  // Column builders (pure Catalyst where possible; UDFs only where java.net.URI
+  // semantics are needed — SURVEY §2.10)
+  // ---------------------------------------------------------------------------
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** F1 as a pure Catalyst expression — no UDF (codegen-friendly). */
+  def clearlyNotHtmlCol(url: Column): Column = {
+    val suffixHit = notHtmlSuffixes
+      .map(s => url.endsWith(lit(s)))
+      .reduce(_ || _)
+    suffixHit || !url.startsWith("http")
+  }
+
+  /** L4 as pure Catalyst: last two labels of the host. */
+  def domainRootCol(hostCol: Column): Column = {
+    val parts = split(hostCol, "\\.")
+    when(size(parts) <= 2, hostCol)
+      .otherwise(array_join(slice(parts, -2, 2), "."))
+  }
+
+  /** F5: URL length admission. */
+  def urlLenOkCol(url: Column, maxLen: Int): Column = length(url) <= maxLen
+
+  // UDF-backed columns (registered lazily; java.net.URI isn't expressible in
+  // Catalyst builtins). Kept off the per-token hot path — they run once per
+  // extracted link.
+  private val hostUdf = udf((u: String) => host(u).orNull)
+  private val canonUdf = udf((u: String) => canonicalize(u).orNull)
+  private val resolveUdf = udf((b: String, h: String) => resolve(b, h).orNull)
+  private val trapUdf = udf((u: String) => looksLikeATrap(u).getOrElse(false))
+  private val validUdf = udf((u: String) => isValidUri(u))
+  private val pathUdf = udf((u: String) => path(u))
+
+  def hostCol(url: Column): Column = hostUdf(url)
+  def canonicalizeCol(url: Column): Column = canonUdf(url)
+  def resolveCol(base: Column, href: Column): Column = resolveUdf(base, href)
+  def trapCol(url: Column): Column = trapUdf(url)
+  def validUriCol(url: Column): Column = validUdf(url)
+  def pathCol(url: Column): Column = pathUdf(url)
+}

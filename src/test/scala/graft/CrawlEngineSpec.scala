@@ -1,0 +1,199 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end golden replay (SURVEY §5.3): the Spark BSP engine must match
+  * the sequential oracle batch-for-batch on pop sets and exactly on the
+  * final frontier / URL-seen set and metrics — the north_rule's
+  * "matching the reference's crawl ordering and URL-seen set under the same
+  * seed list + politeness budget".
+  */
+class CrawlEngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val seed = 7L
+  val nDocs = 300
+  val cfg = CrawlConfig(batchSize = 40, perHostCap = 4, maxBatches = 6,
+    nBuckets = 8, saltBuckets = 4)
+
+  def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  lazy val docsLocal = Corpus.docsLocal(seed, nDocs)
+  lazy val oracle = ReferenceOracle.run(docsLocal, Corpus.robotsEntries,
+    Corpus.seeds(nDocs), cfg)
+
+  def runEngine(dir: String, cfgX: CrawlConfig = cfg): CrawlLoop.CrawlResult =
+    CrawlLoop.run(spark,
+      Corpus.documents(spark, seed, nDocs).toDF(),
+      Corpus.robots(spark).toDF(),
+      Corpus.seedsDs(spark, nDocs).toDF(),
+      cfgX, dir, seed, nDocs)
+
+  test("corpus is deterministic and distributed == local") {
+    val dist = Corpus.documents(spark, seed, nDocs).collect().sortBy(_.doc_id)
+    val local = docsLocal.sortBy(_.doc_id)
+    assert(dist.length == local.length)
+    dist.zip(local).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("span-sequence invariant: sorting spans by offset restores (kind, text, media_ref, order)") {
+    // the engine's html view sorts by offset; verify against the generator's
+    // canonical order for every doc (input_hint per-row invariant)
+    docsLocal.foreach { d =>
+      val sorted = d.spans.sortBy(_.offset)
+      assert(sorted.map(_.offset) == sorted.indices.map(identity),
+        s"offsets not dense for ${d.doc_id}")
+      sorted.foreach { s =>
+        if (s.kind == "text") assert(s.media_ref == "" && s.text.nonEmpty)
+        else assert(s.kind == "media" && s.text == "" && s.media_ref.nonEmpty)
+      }
+    }
+    // and the Spark-side htmlCol equals the shared pure function
+    import spark.implicits._
+    val fromSpark = Corpus.documents(spark, seed, 50)
+      .select(col("doc_id"), Parser.htmlCol(col("spans")).as("html"))
+      .as[(String, String)].collect().toMap
+    Corpus.docsLocal(seed, 50).foreach { d =>
+      assert(fromSpark(d.doc_id) == Parser.htmlOf(d.spans), s"html mismatch ${d.doc_id}")
+    }
+  }
+
+  test("media refs never enter the frontier (interleaved-payload check)") {
+    val dir = tmpDir("media")
+    runEngine(dir)
+    val m = Snapshots.readCurrent(dir).get
+    val urls = spark.read.parquet(m.frontierPath).select("url")
+      .collect().map(_.getString(0))
+    assert(urls.nonEmpty)
+    assert(!urls.exists(_.contains("/m/")), "media_ref leaked into frontier")
+    assert(!urls.exists(u => u.endsWith(".png") || u.endsWith(".mp4")))
+  }
+
+  test("golden replay: pop batches, final frontier, seen set, metrics match oracle") {
+    val dir = tmpDir("golden")
+    val res = runEngine(dir)
+
+    // per-batch pop set equality
+    assert(res.batches.size == oracle.metrics.size,
+      s"batch count: engine ${res.batches.size} vs oracle ${oracle.metrics.size}")
+    oracle.popBatches.zipWithIndex.foreach { case (expected, b) =>
+      val got = spark.read.parquet(Snapshots.popBatchPath(dir, b))
+        .select("url").collect().map(_.getString(0)).toSet
+      assert(got == expected,
+        s"batch $b pop set: extra=${got -- expected} missing=${expected -- got}")
+    }
+
+    // final frontier exact equality on (url, host, priority, popped)
+    val m = Snapshots.readCurrent(dir).get
+    val engineFrontier = spark.read.parquet(m.frontierPath)
+      .select("url", "host", "priority", "popped")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(engineFrontier == oracle.frontier)
+
+    // URL-seen set = frontier key set
+    assert(engineFrontier.keySet == oracle.frontier.keySet)
+
+    // metrics (all deterministic fields)
+    res.batches.zip(oracle.metrics).foreach { case (e, o) =>
+      assert(e.copy(elapsedMs = 0) == o.copy(elapsedMs = 0), s"metrics batch ${o.batch}")
+    }
+
+    // lineage: manifest per-bucket rows sum to frontier size
+    assert(m.perBucketRows.values.sum == engineFrontier.size)
+  }
+
+  test("popped URLs never reappear in later pop batches") {
+    val dir = tmpDir("popped")
+    val res = runEngine(dir)
+    var seen = Set.empty[String]
+    (0 until res.batches.size).foreach { b =>
+      val got = spark.read.parquet(Snapshots.popBatchPath(dir, b))
+        .select("url").collect().map(_.getString(0)).toSet
+      assert((got & seen).isEmpty, s"batch $b re-popped ${got & seen}")
+      seen ++= got
+    }
+  }
+
+  test("politeness: no host exceeds perHostCap in any batch") {
+    val dir = tmpDir("polite")
+    val res = runEngine(dir)
+    (0 until res.batches.size).foreach { b =>
+      val byHost = spark.read.parquet(Snapshots.popBatchPath(dir, b))
+        .groupBy("host").count().collect()
+      byHost.foreach(r => assert(r.getLong(1) <= cfg.perHostCap,
+        s"batch $b host ${r.getString(0)} popped ${r.getLong(1)} > cap"))
+    }
+  }
+
+  test("resume from checkpoint reproduces the uninterrupted run") {
+    val full = tmpDir("full")
+    runEngine(full)
+    val finalFull = spark.read.parquet(Snapshots.readCurrent(full).get.frontierPath)
+      .select("url", "priority", "popped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    // interrupted: stop after 3 batches (state dropped), then resume
+    val part = tmpDir("part")
+    runEngine(part, cfg.copy(maxBatches = 3))
+    val resumed = runEngine(part) // fresh invocation resumes from MANIFEST
+    val finalPart = spark.read.parquet(Snapshots.readCurrent(part).get.frontierPath)
+      .select("url", "priority", "popped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    assert(finalPart == finalFull)
+    assert(resumed.batches.size == oracle.metrics.size)
+    // no re-fetches beyond the politeness window: pop batches are disjoint
+    var seen = Set.empty[String]
+    (0 until resumed.batches.size).foreach { b =>
+      val got = spark.read.parquet(Snapshots.popBatchPath(part, b))
+        .select("url").collect().map(_.getString(0)).toSet
+      assert((got & seen).isEmpty)
+      seen ++= got
+    }
+  }
+
+  test("mid-superstep resume: committed pop batch is not re-popped (politeness window)") {
+    val dir = tmpDir("midstep")
+    runEngine(dir, cfg.copy(maxBatches = 2))
+    // simulate a crash after the phase-1 "pop" commit of batch 2: do exactly
+    // what the loop's phase 1 does, then abandon
+    val m2 = Snapshots.readCurrent(dir).get
+    assert(m2.batch == 1 && m2.phase == "done")
+    val frontier = spark.read.parquet(m2.frontierPath)
+    val pop = Frontier.popBatch(frontier, cfg)
+    pop.write.mode("overwrite").parquet(Snapshots.popBatchPath(dir, 2))
+    Snapshots.commit(dir, Manifest(2, "pop", m2.frontierPath,
+      Snapshots.popBatchPath(dir, 2), m2.filtersPath, Map.empty, None, seed, nDocs))
+
+    val resumed = runEngine(dir) // must pick up the committed pop batch
+    val finalPart = spark.read.parquet(Snapshots.readCurrent(dir).get.frontierPath)
+      .select("url", "priority", "popped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+
+    val full = tmpDir("midfull")
+    runEngine(full)
+    val finalFull = spark.read.parquet(Snapshots.readCurrent(full).get.frontierPath)
+      .select("url", "priority", "popped").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(finalPart == finalFull)
+    assert(resumed.batches.nonEmpty)
+  }
+
+  test("robots: blocked host is never fetched but still popped") {
+    val dir = tmpDir("robots")
+    val res = runEngine(dir)
+    assert(res.batches.map(_.robotsDenied).sum ==
+      oracle.metrics.map(_.robotsDenied).sum)
+    // blocked.example disallows '/' — every one of its pops must be denied
+    val deniedHosts = (0 until res.batches.size).flatMap { b =>
+      spark.read.parquet(Snapshots.popBatchPath(dir, b))
+        .select("url", "host").collect()
+        .filter(_.getString(1) == Corpus.BlockedHost).map(_.getString(0))
+    }
+    assert(deniedHosts.nonEmpty, "fixture should pop some blocked-host URLs")
+  }
+}

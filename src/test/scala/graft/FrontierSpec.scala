@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.util.Random
+
+class FrontierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val cfg = CrawlConfig(batchSize = 50, perHostCap = 3, nBuckets = 8, saltBuckets = 4)
+
+  def mkFrontier(n: Int, seed: Long) = {
+    val rng = new Random(seed)
+    (0 until n).map { i =>
+      val host = s"h${rng.nextInt(5)}.example" // few hosts → heavy per-host skew
+      FrontierEntry(s"https://$host/d$i", host, 0, rng.nextInt(100).toLong,
+        popped = rng.nextDouble() < 0.2)
+    }
+  }
+
+  test("salted two-phase pop == unsalted single-window pop (exactness under skew)") {
+    val entries = mkFrontier(2000, 11L)
+    val df = spark.createDataset(entries).toDF()
+    val got = Frontier.popBatch(df, cfg)
+      .select("url").collect().map(_.getString(0)).toSet
+
+    // naive direct rule
+    val naive = df.filter(!col("popped"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= cfg.perHostCap)
+      .orderBy(col("priority").desc, col("url").asc)
+      .limit(cfg.batchSize)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(got == naive)
+  }
+
+  test("merge is order-insensitive: link batches split arbitrarily give the same frontier") {
+    val rng = new Random(5L)
+    val links = (0 until 500).map { i =>
+      val host = s"h${rng.nextInt(10)}.example"
+      Link(s"https://$host/p${rng.nextInt(80)}", host, 1L + rng.nextInt(3))
+    }
+    val frontier0 = spark.createDataset(mkFrontier(100, 3L)).toDF()
+    val emptyPop = spark.emptyDataset[FrontierEntry].toDF().select("url", "host")
+
+    def mergeAll(batches: Seq[Seq[Link]]): Map[String, (Long, Boolean)] = {
+      var f = frontier0
+      batches.foreach { b =>
+        val agg = spark.createDataset(b).groupBy($"url", $"host")
+          .agg(sum($"weight").as("weight"))
+        f = Frontier.merge(f, agg, emptyPop, cfg)
+          .select("url", "host", "bucket", "priority", "popped")
+      }
+      f.select("url", "priority", "popped").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    }
+
+    val oneShot = mergeAll(Seq(links))
+    val split3 = mergeAll(Seq(links.take(100), links.slice(100, 350), links.drop(350)))
+    assert(oneShot == split3)
+  }
+
+  test("merge: increments on popped entries keep popped=true (src/page.rs:33-50)") {
+    val f0 = spark.createDataset(Seq(
+      FrontierEntry("https://a.example/x", "a.example", 0, 5L, popped = true),
+      FrontierEntry("https://a.example/y", "a.example", 0, 2L, popped = false))).toDF()
+    val links = Seq(Link("https://a.example/x", "a.example", 7L)).toDS()
+      .groupBy($"url", $"host").agg(sum($"weight").as("weight"))
+    val emptyPop = spark.emptyDataset[FrontierEntry].toDF().select("url", "host")
+    val merged = Frontier.merge(f0, links, emptyPop, cfg)
+      .select("url", "priority", "popped", "was_existing", "was_incoming").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(merged("https://a.example/x") == ((12L, true, 1, 1))) // inc'd, still popped, dup hit
+    assert(merged("https://a.example/y") == ((2L, false, 1, 0)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class SeenSetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def urlsDf(n: Int, tag: String) =
+    (0 until n).map(i => s"https://h${i % 7}.example/$tag/d$i").toDF("url")
+      .withColumn("bucket", Frontier.bucketCol(col("url"), 8))
+
+  test("per-bucket bloom+cuckoo filters: no false negatives via Spark aggregator") {
+    val seen = urlsDf(3000, "seen")
+    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000).persist()
+    assert(filters.count() == 8)
+
+    val checked = seen.join(filters, Seq("bucket"))
+      .select(
+        SeenSet.bloomContains(col("bloom"), col("url")).as("b"),
+        SeenSet.cuckooContains(col("cuckoo"), col("url")).as("c"))
+      .agg(sum(when(col("b"), 0).otherwise(1)), sum(when(col("c"), 0).otherwise(1)))
+      .collect()(0)
+    assert(checked.getLong(0) == 0, "bloom false negative")
+    assert(checked.getLong(1) == 0, "cuckoo false negative")
+  }
+
+  test("splitByBloom: 'fresh' side is exact (bloom has no false negatives)") {
+    val seen = urlsDf(2000, "seen")
+    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000)
+    val incoming = urlsDf(500, "seen").union(urlsDf(800, "new"))
+    val (seenish, fresh) = SeenSet.splitByBloom(incoming, filters)
+    val freshUrls = fresh.select("url").collect().map(_.getString(0)).toSet
+    assert(freshUrls.forall(_.contains("/new/")), "a seen url leaked into fresh")
+    assert(seenish.count() + fresh.count() == 1300)
+    // bloom fp rate keeps seenish close to the true 500
+    assert(seenish.count() >= 500 && seenish.count() <= 560)
+  }
+
+  test("incremental filter-table merge keeps old membership") {
+    val a = SeenSet.buildFilters(urlsDf(1000, "a"), 1000)
+    val b = SeenSet.buildFilters(urlsDf(1000, "b"), 1000)
+    val merged = SeenSet.mergeFilterTables(a, b)
+    val all = urlsDf(1000, "a").union(urlsDf(1000, "b"))
+    val misses = all.join(merged, Seq("bucket"))
+      .filter(!SeenSet.bloomContains(col("bloom"), col("url")) ||
+        !SeenSet.cuckooContains(col("cuckoo"), col("url")))
+      .count()
+    assert(misses == 0)
+  }
+}
