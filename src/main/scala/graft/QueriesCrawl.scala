@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-oracle queries for the crawl-engine operators (SURVEY §2).
+  *
+  * Each query runs the REAL engine operator (UrlOps / Frontier / Robots /
+  * Parser / Indexer / Search code paths) over inputs derived deterministically
+  * from the driver's parquet tables; each has a DuckDB SQL twin in
+  * [[oracleSql]] that reproduces the result bit-exactly (integer/string math
+  * only; engine-portable md5-based hashing where hashing is needed).
+  *
+  * URL corpus derivation: the driver's tables carry no URLs, so a URL table
+  * is derived in-query from `documents.doc_id` — same CASE arithmetic on both
+  * engines. The derivation bakes in the admission-filter edge cases the
+  * reference cares about: non-HTML extensions (src/main.rs:112-145), trap
+  * paths (src/main.rs:147-159), multi-label hosts (src/main.rs:208-214),
+  * query strings + fragments (src/main.rs:240-243).
+  */
+object QueriesCrawl {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // Derived URL corpus — Catalyst side. Mirrors sqlUrl/sqlHost EXACTLY.
+  // ---------------------------------------------------------------------
+
+  def hostExpr(id: Column): Column =
+    when(id % 13 === 0, concat(lit("sub.site"), (id % 7).cast("string"), lit(".co.uk")))
+      .otherwise(concat(lit("site"), (id % 7).cast("string"), lit(".example.com")))
+
+  def urlExpr(id: Column): Column = {
+    val ids = id.cast("string")
+    val pseg = concat(lit("p"), (id % 5).cast("string"))
+    val path = when(id % 17 === 0, concat(lit("/t/t/t/d"), ids))
+      .when(id % 9 < 3, concat(lit("/"), pseg, lit("/"), pseg, lit("/d"), ids))
+      .otherwise(concat(lit("/"), pseg, lit("/q"), (id % 3).cast("string"), lit("/d"), ids))
+    val ext = when(id % 11 === 0, lit(".png"))
+      .when(id % 11 === 1, lit(".css"))
+      .when(id % 11 === 2, lit(".pdf"))
+      .otherwise(lit(""))
+    val tail = when(id % 6 === 0, concat(lit("?ref="), (id % 4).cast("string")))
+      .when(id % 6 === 1, lit("#sec"))
+      .otherwise(lit(""))
+    concat(lit("https://"), hostExpr(id), path, ext, tail)
+  }
+
+  /** (doc_id, url, host) for every document row. */
+  def urls(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").select(
+      col("doc_id"),
+      urlExpr(col("doc_id")).as("url"),
+      hostExpr(col("doc_id")).as("host"))
+
+  // ---------------------------------------------------------------------
+  // Derived URL corpus — DuckDB side (same arithmetic, textually templated
+  // over the id expression so link targets can shift the id).
+  // ---------------------------------------------------------------------
+
+  def sqlHost(id: String): String =
+    s"""CASE WHEN ($id) % 13 = 0 THEN 'sub.site' || CAST(($id) % 7 AS VARCHAR) || '.co.uk'
+       | ELSE 'site' || CAST(($id) % 7 AS VARCHAR) || '.example.com' END""".stripMargin.replace("\n", " ")
+
+  def sqlUrl(id: String): String =
+    s"""'https://' || ${sqlHost(id)} ||
+       | CASE WHEN ($id) % 17 = 0 THEN '/t/t/t/d' || CAST($id AS VARCHAR)
+       |      WHEN ($id) % 9 < 3 THEN '/p' || CAST(($id) % 5 AS VARCHAR) || '/p' || CAST(($id) % 5 AS VARCHAR) || '/d' || CAST($id AS VARCHAR)
+       |      ELSE '/p' || CAST(($id) % 5 AS VARCHAR) || '/q' || CAST(($id) % 3 AS VARCHAR) || '/d' || CAST($id AS VARCHAR) END ||
+       | CASE WHEN ($id) % 11 = 0 THEN '.png' WHEN ($id) % 11 = 1 THEN '.css' WHEN ($id) % 11 = 2 THEN '.pdf' ELSE '' END ||
+       | CASE WHEN ($id) % 6 = 0 THEN '?ref=' || CAST(($id) % 4 AS VARCHAR) WHEN ($id) % 6 = 1 THEN '#sec' ELSE '' END""".stripMargin.replace("\n", " ")
+
+  /** Shared CTE: urls(doc_id, url, host). */
+  val sqlUrlsCte: String =
+    s"WITH urls AS (SELECT doc_id, ${sqlUrl("doc_id")} AS url, ${sqlHost("doc_id")} AS host FROM documents)"
+
+  /** DuckDB path-of-url (mirrors Robots.pathCol / UrlOps.path semantics for
+    * these well-formed URLs). `raw` keeps query+fragment (Robots.pathCol);
+    * trap/canonical use the query-stripped variant. */
+  val sqlRawPath = "regexp_replace(url, '^[a-z]+://[^/]*', '')"
+  val sqlCleanPath = "regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1)"
+
+  // ---------------------------------------------------------------------
+  // The queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 + F5: admission filtering (clearly_not_html suffixes, length cap)
+    "q01_admitted_urls" -> ((s, d) =>
+      urls(s, d).filter(!UrlOps.clearlyNotHtmlCol(col("url")) &&
+          UrlOps.urlLenOkCol(col("url"), 250))
+        .select(col("doc_id"), col("url"))),
+
+    // L3: canonicalization (strip query+fragment) via the engine UDF
+    "q02_canonicalize" -> ((s, d) =>
+      urls(s, d).select(col("doc_id"), UrlOps.canonicalizeCol(col("url")).as("canon_url"))),
+
+    // L4: domain_root
+    "q03_domain_root" -> ((s, d) =>
+      urls(s, d).select(col("host"), UrlOps.domainRootCol(col("host")).as("root")).distinct()),
+
+    // F4: trap detection
+    "q04_trap_flags" -> ((s, d) =>
+      urls(s, d).select(col("doc_id"), col("url"),
+        UrlOps.trapCol(col("url")).cast("long").as("is_trap"))),
+
+    // L1: href regex extraction over constructed html
+    "q05_link_extract" -> ((s, d) => {
+      val u = urls(s, d)
+      val html = concat(lit("<a href='"), col("url"), lit("'>x</a><p>noise</p><a href=\""),
+        urlExpr(col("doc_id") + 37), lit("\">y</a>"))
+      u.select(col("doc_id"), explode(
+          regexp_extract_all(html, lit("href=['\"]([^'\"]+)['\"]"), lit(1))).as("href"))
+    }),
+
+    // A1: frontier insert-or-increment merge with popped preservation
+    "q06_frontier_merge" -> ((s, d) => {
+      val u = urls(s, d)
+      val frontier = u.select(col("url"), col("host"),
+        (col("doc_id") % 10 + 1).cast("long").as("priority"),
+        (col("doc_id") % 4 === 0).as("popped"))
+      val links = u.select(urlExpr(col("doc_id") + 100).as("url"),
+        hostExpr(col("doc_id") + 100).as("host"),
+        (col("doc_id") % 3 + 1).cast("long").as("weight"))
+      val popMarkers = u.filter(col("doc_id") % 10 === 0).select(col("url"), col("host"))
+      Frontier.merge(frontier, links, popMarkers, CrawlConfig())
+        .select(col("url"), col("host"), col("priority"),
+          col("popped").cast("long").as("popped"))
+    }),
+
+    // T1/T2: politeness-capped priority pop (salted two-phase top-k)
+    "q07_pop_batch" -> ((s, d) => {
+      val u = urls(s, d)
+      val frontier = u.select(col("url"), col("host"),
+        Frontier.bucketCol(col("url"), 64).as("bucket"),
+        (col("doc_id") % 10 + 1).cast("long").as("priority"),
+        (col("doc_id") % 4 === 0).as("popped"))
+      Frontier.popBatch(frontier, CrawlConfig(batchSize = 50, perHostCap = 3, saltBuckets = 4))
+        .select(col("url"), col("host"), col("priority"))
+    }),
+
+    // J2 + F7: robots broadcast-join gate
+    "q08_robots_gate" -> ((s, d) => {
+      import s.implicits._
+      val pop = urls(s, d).select(col("url"), col("host"),
+        lit(1L).as("priority"))
+      val robots = Seq(
+        RobotsEntry("site0.example.com", Seq("/p1", "/t")),
+        RobotsEntry("site1.example.com", Seq("/")),
+        RobotsEntry("sub.site0.co.uk", Seq("/p2"))).toDF()
+      Robots.allowedBatch(pop, robots).select(col("url"), col("host"))
+    }),
+
+    // J1: exact URL-seen anti-join
+    "q09_seen_antijoin" -> ((s, d) => {
+      val cand = urls(s, d).select(col("doc_id"), col("url"))
+      val seen = urls(s, d).select(urlExpr(col("doc_id") * 3 + 1).as("url"))
+      cand.join(seen, Seq("url"), "left_anti").select(col("doc_id"), col("url"))
+    }),
+
+    // X1-X4 + A3 + A4 + F8: term extraction through the real parser regexes
+    // + TF quantization + min-token gate
+    "q10_term_postings" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val html = concat(lit("<body><p>"), col("text"), lit("</p></body>"))
+      docs.select(col("doc_id"), Parser.termsCol(html).as("terms"))
+        .withColumn("n_terms", size(col("terms")).cast("long"))
+        .filter(col("n_terms") >= 30)
+        .select(col("doc_id"), col("n_terms"), explode(col("terms")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"), max(col("n_terms")).as("n_terms"))
+        .select(col("doc_id"), col("term"), col("cnt"),
+          expr("least(cnt * 2550 div n_terms, 255)").as("score"))
+    }),
+
+    // A5: doc-length stat floor(log2(n_terms)) — exact integer via bin()
+    "q11_docmeta" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      val html = concat(lit("<body><p>"), col("text"), lit("</p></body>"))
+      docs.select(col("doc_id"), size(Parser.termsCol(html)).cast("long").as("n_terms"))
+        .filter(col("n_terms") >= 30)
+        .withColumn("term_count", (length(bin(col("n_terms"))) - 1).cast("long"))
+    }),
+
+    // A6/A7: per-term document frequency, max score, integer IDF
+    "q12_idf_stats" -> ((s, d) => {
+      val postings = queries("q10_term_postings")(s, d)
+      val shardSize = postings.select(countDistinct(col("doc_id"))).first().getLong(0)
+      postings.groupBy(col("term"))
+        .agg(count(when(col("score") > 0, 1)).as("df"),
+          max(col("score")).as("mx"))
+        .withColumn("normalized", expr(s"df * 65536 div $shardSize"))
+        .withColumn("logidf",
+          when(col("normalized") > 0, length(bin(col("normalized"))).cast("long")).otherwise(0L))
+        .withColumn("idf", expr("shiftleft(CAST(1 AS BIGINT), CAST(logidf div 2 AS INT))"))
+        .select(col("term"), col("df"), col("mx"), col("idf"))
+    }),
+
+    // J4 + T3 + F10 (relational form): conjunctive AND + top-k
+    "q13_search_topk" -> ((s, d) => {
+      val postings = queries("q10_term_postings")(s, d)
+      val terms = Seq("hash", "row", "value")
+      postings.filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("nt"), sum(col("score")).as("score"))
+        .filter(col("nt") === terms.size)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("score"))
+    }),
+
+    // L5: cross-domain bonus weighting
+    "q14_cross_domain" -> ((s, d) => {
+      val u = urls(s, d)
+      val src = UrlOps.domainRootCol(col("host"))
+      val dst = UrlOps.domainRootCol(hostExpr(col("doc_id") + 37))
+      u.select(col("doc_id"), src.as("src_root"), dst.as("dst_root"),
+        when(src =!= dst, lit(2L)).otherwise(lit(1L)).as("weight"))
+    }),
+
+    // U1/U2: epoch shard union + doc-id rebasing
+    "q15_shard_merge" -> ((s, d) => {
+      val postings = queries("q10_term_postings")(s, d)
+        .withColumn("epoch", (col("doc_id") % 2).cast("int"))
+      val e0 = postings.filter(col("epoch") === 0)
+      val e1 = postings.filter(col("epoch") === 1)
+      Indexer.mergeShards(Seq(e0, e1))
+        .select(col("term"), (col("doc_id") + col("epoch") * 1000000L).as("gid"), col("score"))
+    }))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  private val notHtmlOr: String =
+    UrlOps.notHtmlSuffixes.map(sfx => s"ends_with(url, '$sfx')").mkString(" OR ")
+
+  private val sqlTermsCte: String =
+    """terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+      | nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms FROM terms GROUP BY doc_id),
+      | tf AS (SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS cnt, any_value(nt.n_terms) AS n_terms
+      |        FROM terms t JOIN nt ON t.doc_id = nt.doc_id WHERE nt.n_terms >= 30
+      |        GROUP BY t.doc_id, t.term),
+      | postings AS (SELECT doc_id, term, cnt, CAST(least(cnt * 2550 // n_terms, 255) AS BIGINT) AS score FROM tf)""".stripMargin.replace("\n", " ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_admitted_urls" ->
+      s"$sqlUrlsCte SELECT doc_id, url FROM urls WHERE NOT ($notHtmlOr OR NOT starts_with(url, 'http')) AND length(url) <= 250",
+
+    "q02_canonicalize" ->
+      s"$sqlUrlsCte SELECT doc_id, regexp_replace(url, '[#?].*$$', '') AS canon_url FROM urls",
+
+    "q03_domain_root" ->
+      (s"$sqlUrlsCte SELECT DISTINCT host, CASE WHEN len(string_split(host, '.')) <= 2 THEN host " +
+        "ELSE (string_split(host, '.'))[-2] || '.' || (string_split(host, '.'))[-1] END AS root FROM urls"),
+
+    "q04_trap_flags" ->
+      (s"$sqlUrlsCte, segs AS (SELECT doc_id, url, string_split(substr($sqlCleanPath, 2), '/') AS sl FROM urls) " +
+        "SELECT doc_id, url, CAST(CASE WHEN len(sl) - len(list_distinct(sl)) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS is_trap FROM segs"),
+
+    "q05_link_extract" ->
+      (s"$sqlUrlsCte, h AS (SELECT doc_id, '<a href=''' || url || '''>x</a><p>noise</p><a href=\"' || ${sqlUrl("doc_id + 37")} || '\">y</a>' AS html FROM urls) " +
+        """SELECT doc_id, unnest(regexp_extract_all(html, 'href=[''"]([^''"]+)[''"]', 1)) AS href FROM h"""),
+
+    "q06_frontier_merge" ->
+      (s"$sqlUrlsCte, all_rows AS (" +
+        "SELECT url, host, CAST(doc_id % 10 + 1 AS BIGINT) AS priority, (doc_id % 4 = 0) AS popped FROM urls " +
+        s"UNION ALL SELECT ${sqlUrl("doc_id + 100")} AS url, ${sqlHost("doc_id + 100")} AS host, CAST(doc_id % 3 + 1 AS BIGINT) AS priority, false AS popped FROM documents " +
+        "UNION ALL SELECT url, host, CAST(0 AS BIGINT), true FROM urls WHERE doc_id % 10 = 0) " +
+        "SELECT url, max(host) AS host, CAST(sum(priority) AS BIGINT) AS priority, CAST(max(CASE WHEN popped THEN 1 ELSE 0 END) AS BIGINT) AS popped FROM all_rows GROUP BY url"),
+
+    "q07_pop_batch" ->
+      (s"$sqlUrlsCte, cand AS (SELECT url, host, CAST(doc_id % 10 + 1 AS BIGINT) AS priority FROM urls WHERE NOT (doc_id % 4 = 0)), " +
+        "ranked AS (SELECT url, host, priority, row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rk FROM cand) " +
+        "SELECT url, host, priority FROM ranked WHERE rk <= 3 ORDER BY priority DESC, url ASC LIMIT 50"),
+
+    "q08_robots_gate" ->
+      (s"$sqlUrlsCte, p AS (SELECT url, host, $sqlRawPath AS path FROM urls) " +
+        "SELECT url, host FROM p WHERE NOT (" +
+        "(host = 'site0.example.com' AND (starts_with(path, '/p1') OR starts_with(path, '/t'))) OR " +
+        "(host = 'site1.example.com' AND starts_with(path, '/')) OR " +
+        "(host = 'sub.site0.co.uk' AND starts_with(path, '/p2')))"),
+
+    "q09_seen_antijoin" ->
+      (s"$sqlUrlsCte, seen AS (SELECT ${sqlUrl("doc_id * 3 + 1")} AS url FROM documents) " +
+        "SELECT doc_id, url FROM urls u WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = u.url)"),
+
+    "q10_term_postings" ->
+      s"WITH $sqlTermsCte SELECT doc_id, term, cnt, score FROM postings",
+
+    "q11_docmeta" ->
+      ("WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, CAST(length(bin(count(*))) - 1 AS BIGINT) AS term_count " +
+        "FROM terms GROUP BY doc_id HAVING count(*) >= 30"),
+
+    "q12_idf_stats" ->
+      (s"WITH $sqlTermsCte, shard AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM postings), " +
+        "stats AS (SELECT term, CAST(count(CASE WHEN score > 0 THEN 1 END) AS BIGINT) AS df, CAST(max(score) AS BIGINT) AS mx FROM postings GROUP BY term), " +
+        "withn AS (SELECT term, df, mx, df * 65536 // (SELECT n FROM shard) AS normalized FROM stats), " +
+        "withl AS (SELECT term, df, mx, CASE WHEN normalized > 0 THEN CAST(length(bin(normalized)) AS BIGINT) ELSE 0 END AS logidf FROM withn) " +
+        "SELECT term, df, mx, CAST(1::BIGINT << CAST(logidf // 2 AS INT) AS BIGINT) AS idf FROM withl"),
+
+    "q13_search_topk" ->
+      (s"WITH $sqlTermsCte " +
+        "SELECT doc_id, CAST(sum(score) AS BIGINT) AS score FROM postings WHERE term IN ('hash','row','value') " +
+        "GROUP BY doc_id HAVING count(DISTINCT term) = 3 ORDER BY score DESC, doc_id ASC LIMIT 20"),
+
+    "q14_cross_domain" ->
+      (s"$sqlUrlsCte, roots AS (SELECT doc_id, host AS h1, ${sqlHost("doc_id + 37")} AS h2 FROM urls), " +
+        "r2 AS (SELECT doc_id, " +
+        "CASE WHEN len(string_split(h1,'.')) <= 2 THEN h1 ELSE (string_split(h1,'.'))[-2] || '.' || (string_split(h1,'.'))[-1] END AS src_root, " +
+        "CASE WHEN len(string_split(h2,'.')) <= 2 THEN h2 ELSE (string_split(h2,'.'))[-2] || '.' || (string_split(h2,'.'))[-1] END AS dst_root FROM roots) " +
+        "SELECT doc_id, src_root, dst_root, CAST(CASE WHEN src_root <> dst_root THEN 2 ELSE 1 END AS BIGINT) AS weight FROM r2"),
+
+    "q15_shard_merge" ->
+      (s"WITH $sqlTermsCte " +
+        "SELECT term, CAST(doc_id + (doc_id % 2) * 1000000 AS BIGINT) AS gid, score FROM postings"))
+}

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, MultiModal, Similarity, TextOps}
+
+/** Driver-oracle queries for the training-data pipeline operators
+  * (dedup family, similarity search, text analysis, multimodal plumbing,
+  * event-stream analytics) over the driver's `documents` / `embeddings` /
+  * `events` tables.
+  *
+  * Design rule shared with [[QueriesCrawl]]: integer/string math and
+  * md5-derived hashing only, so the DuckDB oracle reproduces every value
+  * exactly; floating point appears only in cosine similarities, computed
+  * identically (double precision, sequential) and rounded to 4 dp.
+  */
+object QueriesData {
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // DuckDB twin of TextOps.hash60
+  private def sqlHash60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // DuckDB twin of TextOps.words
+  private val sqlWords =
+    "list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)"
+
+  // DuckDB CTE: distinct word-3-shingles per doc — twin of Dedup.docShingles
+  private val sqlShinglesCte: String =
+    (s"w AS (SELECT doc_id, $sqlWords AS ws FROM documents), " +
+      "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+      "FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) t(i) WHERE len(ws) >= 3)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup -------------------------------------------------
+    "q16_exact_dedup" -> ((s, d) =>
+      Dedup.exactDupMarks(tbl(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"), col("keeper_id"),
+          col("is_dup").cast("long").as("is_dup"))),
+
+    // ---- text analysis ----------------------------------------------
+    "q17_token_stats" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("n_words"),
+        size(TextOps.alphaTokens(col("text"))).cast("long").as("n_alpha"),
+        size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpeish"))),
+
+    "q18_quality_score" -> ((s, d) => {
+      val w = TextOps.words(col("text"))
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextOps.nChars(col("text")).as("n_chars"),
+        TextOps.alphaRatioMicro(col("text")).as("alpha_ratio_micro"),
+        TextOps.stopwordRatioMicro(w).as("stopword_ratio_micro"),
+        TextOps.meanWordLenMicro(w).as("mean_word_len_micro"))
+    }),
+
+    "q19_lang_id" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextOps.langId(TextOps.words(col("text"))).as("pred_lang"))),
+
+    "q20_fingerprint" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- n-gram Jaccard ----------------------------------------------
+    "q21_shingle_stats" -> ((s, d) => {
+      val sh = TextOps.shingles(TextOps.words(col("text")), 3)
+      tbl(s, d, "documents")
+        .select(col("doc_id"), size(sh).cast("long").as("n_shingles"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .filter(col("n_shingles") > 0)
+    }),
+
+    "q22_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(
+        Dedup.docShingles(tbl(s, d, "documents"), "doc_id", "text", 3),
+        minJaccardMicro = 10000L)),
+
+    // ---- MinHash + LSH -----------------------------------------------
+    "q23_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashSignatures(
+        Dedup.docShingles(tbl(s, d, "documents"), "doc_id", "text", 3), k = 8)
+        .select(col("id"), col("seed").cast("long").as("seed"), col("minhash"))),
+
+    "q24_lsh_pairs" -> ((s, d) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(
+          Dedup.docShingles(tbl(s, d, "documents"), "doc_id", "text", 3), k = 8),
+        k = 8, bands = 2)),
+
+    // ---- SimHash -----------------------------------------------------
+    "q25_simhash" -> ((s, d) =>
+      Dedup.simhash(tbl(s, d, "documents"), "doc_id", "text", bits = 32)),
+
+    // ---- similarity search / embedding dedup -------------------------
+    "q26_cosine_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.bruteTopK(e.filter(col("vec_id") < 50), e, k = 5)
+        .select(col("vec_id"), col("nn_id"), col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
+    "q27_lsh_buckets" -> ((s, d) =>
+      Similarity.lshBuckets(tbl(s, d, "embeddings"), planes = 8)),
+
+    "q28_lsh_ann_topk" -> ((s, d) =>
+      Similarity.lshTopK(tbl(s, d, "embeddings"), planes = 6, k = 3)
+        .select(col("vec_id"), col("nn_id"), col("rank").cast("long").as("rank"), col("sim"))),
+
+    "q29_embed_near_dups" -> ((s, d) =>
+      Similarity.embeddingNearDups(tbl(s, d, "embeddings"), planes = 4, simThreshold = 0.30)),
+
+    // ---- multimodal plumbing ----------------------------------------
+    "q30_media_meta" -> ((s, d) =>
+      MultiModal.metaOnly(
+        MultiModal.assetsFromText(tbl(s, d, "documents"), "doc_id", "text"))),
+
+    // ---- event-stream analytics -------------------------------------
+    "q31_event_window" -> ((s, d) =>
+      tbl(s, d, "events")
+        .select(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          floor(col("value") * 1000).cast("long").as("value_milli"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("value_milli")).as("sum_milli"))),
+
+    "q32_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      tbl(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q16_exact_dedup" ->
+      ("SELECT doc_id, md5(text) AS content_hash, " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id, " +
+        "CAST(CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
+        "FROM documents"),
+
+    "q17_token_stats" ->
+      (s"SELECT doc_id, CAST(len($sqlWords) AS BIGINT) AS n_words, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha, " +
+        "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish " +
+        "FROM documents"),
+
+    "q18_quality_score" ->
+      (s"WITH w AS (SELECT doc_id, text, $sqlWords AS ws FROM documents) " +
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(floor(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1000000 / greatest(length(text), 1)) AS BIGINT) AS alpha_ratio_micro, " +
+        s"CAST(floor(len(list_filter(ws, x -> list_contains([${TextOps.stopwords.map(sw => s"'$sw'").mkString(",")}], x))) * 1000000 / greatest(len(ws), 1)) AS BIGINT) AS stopword_ratio_micro, " +
+        "CAST(floor(list_sum(list_transform(ws, x -> len(x))) * 1000000 / greatest(len(ws), 1)) AS BIGINT) AS mean_word_len_micro " +
+        "FROM w"),
+
+    "q19_lang_id" ->
+      (s"WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents), scores AS (" +
+        TextOps.langProfiles.map { case (lang, profile) =>
+          s"SELECT doc_id, '$lang' AS lang, len(list_filter(ws, x -> list_contains([${profile.map(p => s"'$p'").mkString(",")}], x))) AS score FROM w"
+        }.mkString(" UNION ALL ") +
+        ") SELECT doc_id, lang AS pred_lang FROM scores QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1"),
+
+    "q20_fingerprint" ->
+      s"SELECT doc_id, ${sqlHash60("regexp_replace(lower(text), '[^a-z0-9]', '', 'g')")} AS fp FROM documents",
+
+    "q21_shingle_stats" ->
+      ("WITH w AS (SELECT doc_id, " + sqlWords + " AS ws FROM documents), " +
+        "s AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM w, LATERAL unnest(generate_series(1, len(ws) - 2)) t(i) WHERE len(ws) >= 3) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct FROM s GROUP BY doc_id"),
+
+    "q22_jaccard_pairs" ->
+      (s"WITH $sqlShinglesCte, sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id), " +
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY a.id, b.id) " +
+        "SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni, " +
+        "CAST(floor(inter * 1000000 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_micro " +
+        "FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id " +
+        "WHERE CAST(floor(inter * 1000000 / (sa.n + sb.n - inter)) AS BIGINT) >= 10000"),
+
+    "q23_minhash_sigs" ->
+      (s"WITH $sqlShinglesCte " +
+        s"SELECT id, CAST(seed AS BIGINT) AS seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed"),
+
+    "q24_lsh_pairs" ->
+      (s"WITH $sqlShinglesCte, sigs AS (" +
+        s"SELECT id, seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed), " +
+        "banded AS (SELECT id, seed // 4 AS band, string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bandkey FROM sigs GROUP BY id, seed // 4) " +
+        "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.bandkey = b.bandkey AND a.id < b.id"),
+
+    "q25_simhash" ->
+      (s"WITH toks AS (SELECT doc_id AS id, ${sqlHash60("w")} AS h FROM (SELECT doc_id, unnest($sqlWords) AS w FROM documents)), " +
+        "bitsum AS (SELECT id, bit, CAST(sum(((h >> bit) & 1) * 2 - 1) AS BIGINT) AS v " +
+        "FROM toks, LATERAL unnest(generate_series(0, 31)) t(bit) GROUP BY id, bit) " +
+        "SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY id"),
+
+    "q26_cosine_topk" ->
+      ("WITH pairs AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, " +
+        "list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim " +
+        "FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id WHERE q.vec_id < 50) " +
+        "SELECT vec_id, nn_id, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM pairs QUALIFY rank <= 5"),
+
+    "q27_lsh_buckets" ->
+      ("WITH pw AS (SELECT p, d, CAST((((" + sqlHash60("CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
+        "FROM unnest(generate_series(0, 7)) tp(p), unnest(generate_series(0, 63)) td(d)), " +
+        "proj AS (SELECT e.vec_id, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.p) " +
+        "SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id"),
+
+    "q28_lsh_ann_topk" ->
+      ("WITH pw AS (SELECT p, d, CAST((((" + sqlHash60("CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
+        "FROM unnest(generate_series(0, 5)) tp(p), unnest(generate_series(0, 63)) td(d)), " +
+        "proj AS (SELECT e.vec_id, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.p), " +
+        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id), " +
+        "pairs AS (SELECT qa.vec_id AS vec_id, qb.vec_id AS nn_id, " +
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim " +
+        "FROM buckets qa JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id " +
+        "JOIN embeddings a ON a.vec_id = qa.vec_id JOIN embeddings b ON b.vec_id = qb.vec_id) " +
+        "SELECT vec_id, nn_id, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM pairs QUALIFY rank <= 3"),
+
+    "q29_embed_near_dups" ->
+      ("WITH pw AS (SELECT p, d, CAST((((" + sqlHash60("CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
+        "FROM unnest(generate_series(0, 3)) tp(p), unnest(generate_series(0, 63)) td(d)), " +
+        "proj AS (SELECT e.vec_id, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.p), " +
+        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id), " +
+        "pairs AS (SELECT qa.vec_id AS id_a, qb.vec_id AS id_b, " +
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim " +
+        "FROM buckets qa JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id " +
+        "JOIN embeddings a ON a.vec_id = qa.vec_id JOIN embeddings b ON b.vec_id = qb.vec_id) " +
+        "SELECT id_a, id_b, round(sim, 4) AS sim FROM pairs WHERE sim >= 0.30"),
+
+    "q30_media_meta" ->
+      ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'flac' ELSE 'h264' END AS codec FROM documents"),
+
+    "q31_event_window" ->
+      ("SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli " +
+        "FROM events GROUP BY 1, 2"),
+
+    "q32_sessionize" ->
+      ("WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
+        "flags AS (SELECT user_id, CASE WHEN prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM e) " +
+        "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events FROM flags GROUP BY user_id"))
+}

@@ -1,13 +1,98 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.MultiModal
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` = one entry per implemented operator (SURVEY §2 + the
+  * training-data pipeline ops); every SQL-expressible one has a DuckDB twin
+  * in `oracleSql` (the driver's correctness gate). The remaining entries
+  * (full crawl superstep, reference score-fold search, sketch-filter
+  * membership, multimodal decode) are registered without oracle SQL —
+  * rows-only checks — because their semantics (Java URI resolution, cuckoo
+  * filters, the u8 wrapping fold) are not expressible in ANSI SQL; each is
+  * instead verified by ScalaTest against the sequential reference oracle
+  * (src/test/scala/graft/CrawlEngineSpec.scala).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: one full crawl superstep (pop → robots → fetch-join → parse →
+    * frontier merge) on the deterministic synthetic web. Driver smoke-checks
+    * rows > 0. */
+  def entry(spark: SparkSession): DataFrame = crawlSuperstep(spark, nDocs = 300)
+
+  private def crawlSuperstep(spark: SparkSession, nDocs: Int): DataFrame = {
+    val cfg = CrawlConfig(batchSize = 60, perHostCap = 4, nBuckets = 8,
+      saltBuckets = 4, minTokens = 50)
+    val docs = Corpus.documents(spark, 42L, nDocs).toDF()
+    val robots = Corpus.robots(spark).toDF()
+    val frontier = Frontier.fromSeeds(spark, Corpus.seedsDs(spark, nDocs).toDF(), cfg)
+    val pop = Frontier.popBatch(frontier, cfg)
+    val allowed = Robots.allowedBatch(pop, robots)
+    val fetched = Fetcher.okHtml(Fetcher.fetch(allowed, docs))
+    val links = Parser.linksOf(fetched, cfg)
+    val linkAgg = links.groupBy(col("url"), col("host"))
+      .agg(sum(col("weight")).as("weight"))
+    Frontier.merge(frontier, linkAgg, pop.select("url", "host"), cfg)
+      .select("url", "host", "priority", "popped")
+  }
+
+  /** Rows-only queries (no ANSI-SQL equivalent; see class doc). */
+  private def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // full BSP superstep incl. RFC-3986 resolution + trap page-ANY gate
+    "q33_crawl_superstep" -> ((s, _) => crawlSuperstep(s, nDocs = 300)),
+
+    // reference integer score fold (J4/A6/A7/T3 exact semantics)
+    "q34_search_fold" -> ((s, _) => {
+      val cfg = CrawlConfig(minTokens = 50)
+      val docs = Corpus.documents(s, 42L, 300).toDF()
+      val ok = Fetcher.okHtml(docs.withColumnRenamed("doc_id", "url"))
+      val (postings, docmeta) = Indexer.index(ok, cfg, epoch = 0)
+      Search.search(s, postings, docmeta, "spark frontier crawl", topK = 20,
+        termCountGate = 0)
+    }),
+
+    // partitioned bloom+cuckoo seen-set: fresh/seen split counts per bucket
+    "q35_seen_filters" -> ((s, d) => {
+      val u = QueriesCrawl.urls(s, d)
+        .withColumn("bucket", Frontier.bucketCol(col("url"), 16))
+      val half = u.filter(col("doc_id") % 2 === 0).select("url", "bucket")
+      val filters = SeenSet.buildFilters(half, expectedPerBucket = 4096L)
+      val (seenish, fresh) = SeenSet.splitByBloom(u.select("url", "bucket"), filters)
+      seenish.groupBy(col("bucket")).agg(count(lit(1)).as("n_seenish"))
+        .join(fresh.groupBy(col("bucket")).agg(count(lit(1)).as("n_fresh")),
+          Seq("bucket"), "full")
+    }),
+
+    // multimodal decode + feature extraction (stub codec, real plumbing)
+    "q36_media_features" -> ((s, d) => {
+      val assets = MultiModal.assetsFromText(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+      MultiModal.extractFeatures(s, assets).toDF()
+    }),
+
+    // video frame sampling plan (explode bounded by n_frames)
+    "q37_frame_sample" -> ((s, d) => {
+      val assets = MultiModal.assetsFromText(
+        s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+      val features = MultiModal.extractFeatures(s, assets).toDF()
+      MultiModal.sampleFrames(features, everyN = 30)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    }),
+
+    // content-defined rolling-hash fingerprint (Karp-Rabin + winnowing min)
+    "q38_rolling_fingerprint" -> ((s, d) =>
+      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
+        graft.ops.TextOps.rollingFingerprintUdf(col("text"), 32).as("rfp"))))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCrawl.queries ++ QueriesData.queries ++ rowsOnlyQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the rows-only entries. */
+  def oracleSql: Map[String, String] =
+    QueriesCrawl.oracleSql ++ QueriesData.oracleSql
 }

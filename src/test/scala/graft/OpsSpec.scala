@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, MultiModal, Similarity, TextOps}
+
+/** Training-data pipeline operators: parity with independent pure-Scala
+  * reimplementations, plus plan-shape assertions (pruning / no-shuffle
+  * invariants that matter at 100 TB). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words appear in this one"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text"))
+
+  private def docs = texts.toDF("doc_id", "text")
+
+  test("hash60: Spark expression == local implementation") {
+    val samples = Seq("", "a", "hello world", "0#the quick brown", "ünïcode")
+    val sparkVals = samples.toDF("s").select(TextOps.hash60(col("s")))
+      .collect().map(_.getLong(0))
+    samples.zip(sparkVals).foreach { case (s, v) =>
+      assert(v == TextOps.hash60Local(s), s"mismatch for '$s'")
+      assert(v >= 0)
+    }
+  }
+
+  test("shingles: sliding word 3-grams, short docs empty") {
+    val out = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.words(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(0L).head == "the quick brown")
+    assert(out(0L).length == 7) // 9 words -> 7 shingles
+    assert(out(4L).isEmpty)     // 2 words < k
+    // parity with naive sliding window
+    val words = texts(1)._2.split(" ")
+    assert(out(1L) == words.sliding(3).map(_.mkString(" ")).toSeq)
+  }
+
+  test("exact dedup: dup rows marked, keeper is min id") {
+    val marks = Dedup.exactDupMarks(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(marks(0L) == ((0L, 0)))
+    assert(marks(3L) == ((0L, 1))) // dup of 0
+    assert(marks(1L) == ((1L, 0)))
+  }
+
+  test("jaccard pairs: matches naive set Jaccard") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(sh, minJaccardMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    def shingleSet(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val s0 = shingleSet(texts(0)._2); val s1 = shingleSet(texts(1)._2)
+    val expected = s0.intersect(s1).size * 1000000L / s0.union(s1).size
+    assert(pairs((0L, 1L)) == expected)
+    assert(pairs((0L, 3L)) == 1000000L) // exact dups -> jaccard 1
+    assert(!pairs.contains((0L, 2L)))   // no shared shingle
+  }
+
+  test("minhash: signature value == naive min over shingle hashes; LSH finds the exact dup") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val shingles0 = texts(0)._2.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    (0 until 4).foreach { seed =>
+      val naive = shingles0.map(s => TextOps.hash60Local(s"$seed#$s")).min
+      assert(sigs((0L, seed)) == naive)
+    }
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh, k = 4), k = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 3L))) // identical docs always collide
+  }
+
+  test("simhash: parity with naive bit-vote; near-dups closer than far pairs") {
+    val out = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def naive(t: String): Long = {
+      val hs = t.split("\\s+").filter(_.nonEmpty).map(TextOps.hash60Local)
+      (0 until 32).map { b =>
+        val v = hs.map(h => ((h >> b) & 1L) * 2 - 1).sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+    }
+    texts.foreach { case (id, t) => assert(out(id) == naive(t), s"doc $id") }
+    assert(out(0L) == out(3L))
+    val near = java.lang.Long.bitCount(out(0L) ^ out(1L))
+    val far = java.lang.Long.bitCount(out(0L) ^ out(2L))
+    assert(near < far)
+  }
+
+  test("brute cosine top-k: matches naive; ranks deterministic") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(vecs, vecs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(out((0L, 1)) == 1L) // nearest to e_x is the 0.9/0.1 vector
+    assert(out((0L, 2)) == 2L) // then the orthogonal one (0 > -1)
+    assert(out((3L, 2)) == 1L)
+  }
+
+  test("LSH ANN: identical vectors share a bucket; in-bucket sims exact") {
+    val vecs = (0L until 40L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val buckets = Similarity.lshBuckets(vecs, planes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets.size == 40)
+    assert(buckets.values.forall(b => b >= 0 && b < 16))
+    val topk = Similarity.lshTopK(vecs, planes = 4, k = 3).collect()
+    topk.foreach { r =>
+      // every reported neighbor must share the query's bucket
+      assert(buckets(r.getLong(0)) == buckets(r.getLong(1)))
+    }
+  }
+
+  test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
+    val f0 = TextOps.rollingFingerprint(texts(0)._2, 8)
+    assert(f0 >= 0 && f0 < (1L << 31) - 1)
+    assert(f0 == TextOps.rollingFingerprint(texts(3)._2, 8))
+    assert(f0 != TextOps.rollingFingerprint(texts(2)._2, 8))
+    // winnowing property: the min window hash survives content appended AFTER
+    val longer = TextOps.rollingFingerprint(texts(0)._2 + " xyz", 8)
+    assert(longer <= f0)
+  }
+
+  test("quality + lang columns: deterministic and bounded") {
+    val out = docs.select(col("doc_id"),
+      TextOps.alphaRatioMicro(col("text")).as("ar"),
+      TextOps.stopwordRatioMicro(TextOps.words(col("text"))).as("sr"),
+      TextOps.langId(TextOps.words(col("text"))).as("lang"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 1000000)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000)
+      assert(TextOps.langProfiles.map(_._1).contains(r.getString(3)))
+    }
+    // 'the ... over the ...' text: 'the' is an en-profile token -> en wins
+    assert(out.find(_.getLong(0) == 0L).get.getString(3) == "en")
+  }
+
+  test("multimodal: metadata projection prunes the payload column at the scan") {
+    val assets = MultiModal.assetsFromText(docs, "doc_id", "text")
+    val meta = MultiModal.metaOnly(assets)
+    val optimized = meta.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("payload"),
+      s"payload column must be pruned from the metadata plan:\n$optimized")
+    assert(meta.columns.toSeq == Seq("doc_id", "kind", "n_bytes", "codec"))
+  }
+
+  test("multimodal: stub decode is deterministic; frame sampling bounded by n_frames") {
+    val assets = MultiModal.assetsFromText(docs, "doc_id", "text")
+    val f1 = MultiModal.extractFeatures(spark, assets).collect().sortBy(_.doc_id)
+    val f2 = MultiModal.extractFeatures(spark, assets).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+    val sampled = MultiModal.sampleFrames(
+      MultiModal.extractFeatures(spark, assets).toDF(), everyN = 10)
+      .groupBy(col("doc_id")).agg(max(col("frame_idx")).as("mx"), count(lit(1)).as("n"))
+      .collect()
+    val frames = f1.map(f => f.doc_id -> f.n_frames).toMap
+    sampled.foreach { r =>
+      assert(r.getInt(1) < frames(r.getLong(0)), "sampled frame index out of range")
+    }
+  }
+}
