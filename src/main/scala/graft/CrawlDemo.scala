@@ -27,7 +27,8 @@ object CrawlDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = 4,
-      maxBatches = batches, nBuckets = 8, saltBuckets = 4, minTokens = 50)
+      maxBatches = batches, nBuckets = 8, saltBuckets = 4, minTokens = 50,
+      indexWhileCrawling = query.isDefined)
 
     val res = CrawlLoop.run(spark,
       Corpus.documents(spark, seed, nDocs).toDF(),
@@ -46,11 +47,10 @@ object CrawlDemo {
       .orderBy(org.apache.spark.sql.functions.col("priority").desc).limit(8).show(false)
 
     query.foreach { q =>
-      // index everything fetchable and run a search
-      val docs = Corpus.documents(spark, seed, nDocs).toDF()
-      val ok = Fetcher.okHtml(docs.withColumnRenamed("doc_id", "url"))
-      val (postings, docmeta) = Indexer.index(ok, cfg, epoch = 0)
-      println(s"\nsearch: '$q'")
+      // search the index the crawl built live (one epoch per superstep)
+      val postings = spark.read.parquet(Snapshots.postingsPath(stateDir))
+      val docmeta = spark.read.parquet(Snapshots.docmetaPath(stateDir))
+      println(s"\nsearch: '$q' (over ${docmeta.count()} crawled+indexed docs)")
       Search.search(spark, postings, docmeta, q, topK = 10, termCountGate = 0).show(false)
     }
     spark.stop()

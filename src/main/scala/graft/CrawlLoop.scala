@@ -88,14 +88,31 @@ object CrawlLoop {
       if (popped == 0) { done = true }
       else {
         // ---- phase 2: robots gate → fetch → parse ----
+        // One corpus scan per superstep: the fetch join materializes once
+        // (≤ batchSize rows), and matched/fetched stats + the ok-HTML subset
+        // all come from that cache instead of re-scanning the corpus.
         val allowed = Robots.allowedBatch(pop, robots)
-        val fetchedAll = Fetcher.fetch(allowed, documents)
-        val ok = Fetcher.okHtml(fetchedAll).persist()
-        val fetched = ok.count()
-        val matched = fetchedAll.count()
+        val fetchedAll = Fetcher.fetch(allowed, documents).persist()
+        val fetchStats = fetchedAll.agg(
+          count(lit(1)).as("matched"),
+          count(when(col("status") >= 200 && col("status") < 300 &&
+            col("content_type").startsWith("text/html"), 1)).as("fetched")).first()
+        val matched = fetchStats.getLong(0)
+        val fetched = fetchStats.getLong(1)
+        val ok = Fetcher.okHtml(fetchedAll)
         val allowedCount = allowed.count()
         val robotsDenied = popped - allowedCount
         val fetchErrors = allowedCount - matched
+
+        // optional live indexing (reference indexes while crawling,
+        // src/main.rs:256-280): each superstep is one index epoch, appended
+        // to the shared postings/docmeta tables
+        if (cfg.indexWhileCrawling) {
+          val (postings, docmeta) = Indexer.index(ok, cfg, epoch = batch)
+          Indexer.writePostings(postings, Snapshots.postingsPath(stateDir))
+          docmeta.write.mode(SaveMode.Append)
+            .parquet(Snapshots.docmetaPath(stateDir))
+        }
 
         val links = Parser.linksOf(ok, cfg).persist()
         val linksAdmitted = links.count()
@@ -115,7 +132,13 @@ object CrawlLoop {
         val freshUrls = byBucket.map(_.getLong(3)).sum
         val perBucketRows = byBucket.map(r => r.getInt(0).toString -> r.getLong(1)).toMap
 
+        // Cluster the snapshot by bucket before the partitioned write: without
+        // this, every one of the P write tasks emits a file into all 64 bucket
+        // dirs (P*64 small files per superstep); with it, each bucket lands in
+        // exactly one file — the same layout a real cluster wants for
+        // co-located frontier reads.
         val newFrontier = merged.select("url", "host", "bucket", "priority", "popped")
+          .repartition(col("bucket"))
         val fPath = frontierPath(stateDir, batch)
         newFrontier.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(fPath)
 
@@ -151,7 +174,7 @@ object CrawlLoop {
           perBucketRows = perBucketRows, metrics = Some(m),
           seed = seed, nDocs = nDocs))
 
-        ok.unpersist(); links.unpersist(); merged.unpersist()
+        fetchedAll.unpersist(); links.unpersist(); merged.unpersist()
         frontier = spark.read.parquet(fPath)
         batch += 1
       }

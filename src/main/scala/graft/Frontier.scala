@@ -73,9 +73,31 @@ object Frontier {
       .withColumn("bucket", bucketCol(col("url"), cfg.nBuckets))
   }
 
-  /** Pop batch: global top-B by (priority desc, url asc) subject to a
-    * per-host politeness cap of k (north star: "priority queue re-expressed
-    * as a typed Dataset sorted by (priority, host-bucket, fetch-deadline)").
+  /** Pure-Scala twin of [[bucketCol]] (shared with the sequential oracle):
+    * Spark's xxhash64 (seed 42) mod nBuckets, non-negative. */
+  def bucketOf(url: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(url),
+      org.apache.spark.sql.types.StringType, 42L)
+    java.lang.Math.floorMod(h, nBuckets.toLong).toInt
+  }
+
+  /** Per-superstep pop budget for one bucket: ceil(batchSize / nBuckets). */
+  def perBucketBudget(cfg: CrawlConfig): Int =
+    math.max(1, (cfg.batchSize + cfg.nBuckets - 1) / cfg.nBuckets)
+
+  /** Pop batch: per-BUCKET top-(B/nBuckets) by (priority desc, url asc),
+    * subject to a per-host politeness cap of k (north star: "priority queue
+    * re-expressed as a typed Dataset sorted by (priority, host-bucket,
+    * fetch-deadline)").
+    *
+    * The per-bucket budget IS the reference's scheduling fairness: it
+    * round-robins over 64 pqueues taking each queue's max-value entry
+    * (src/scheduler.rs:139-147), so every shard contributes to every batch.
+    * Relationally that is a window top-k per bucket — and unlike a global
+    * `orderBy(priority).limit(B)`, it has NO global sort and NO driver-side
+    * merge of P×B candidates: every stage is partition-parallel, which is
+    * what survives a 10^10-row frontier (raise nBuckets with cluster size).
     *
     * Deterministic re-expression of the reference's racy pop order
     * (SURVEY §7.4 risk 1): within a superstep the pop set is defined by this
@@ -105,7 +127,10 @@ object Frontier {
         Window.partitionBy(col("host"))
           .orderBy(col("priority").desc, col("url").asc)))
       .filter(col("rk") <= cfg.perHostCap).drop("rk")
-    // global budget: TakeOrderedAndProject — no full sort materialized
-    phase2.orderBy(col("priority").desc, col("url").asc).limit(cfg.batchSize)
+    phase2
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= perBucketBudget(cfg)).drop("rk")
   }
 }

@@ -129,14 +129,18 @@ object QueriesCrawl {
           col("popped").cast("long").as("popped"))
     }),
 
-    // T1/T2: politeness-capped priority pop (salted two-phase top-k)
+    // T1/T2: politeness-capped priority pop (salted two-phase top-k).
+    // nBuckets=1 so the per-bucket budget rule degenerates to the global
+    // top-B the SQL oracle can express (bucket hashing is engine-internal);
+    // the multi-bucket path is exercised by q33/entry + the golden replay.
     "q07_pop_batch" -> ((s, d) => {
       val u = urls(s, d)
       val frontier = u.select(col("url"), col("host"),
-        Frontier.bucketCol(col("url"), 64).as("bucket"),
+        Frontier.bucketCol(col("url"), 1).as("bucket"),
         (col("doc_id") % 10 + 1).cast("long").as("priority"),
         (col("doc_id") % 4 === 0).as("popped"))
-      Frontier.popBatch(frontier, CrawlConfig(batchSize = 50, perHostCap = 3, saltBuckets = 4))
+      Frontier.popBatch(frontier,
+        CrawlConfig(batchSize = 50, perHostCap = 3, saltBuckets = 4, nBuckets = 1))
         .select(col("url"), col("host"), col("priority"))
     }),
 

@@ -66,10 +66,13 @@ object QueriesData {
 
     // ---- n-gram Jaccard ----------------------------------------------
     "q21_shingle_stats" -> ((s, d) => {
-      val sh = TextOps.shingles(TextOps.words(col("text")), 3)
+      // n_shingles needs no shingle array at all (= n_words - k + 1);
+      // only the distinct count materializes shingle strings — one pass
+      val w = TextOps.words(col("text"))
       tbl(s, d, "documents")
-        .select(col("doc_id"), size(sh).cast("long").as("n_shingles"),
-          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .select(col("doc_id"),
+          greatest(size(w) - 2, lit(0)).cast("long").as("n_shingles"),
+          size(array_distinct(TextOps.shingles(w, 3))).cast("long").as("n_distinct"))
         .filter(col("n_shingles") > 0)
     }),
 

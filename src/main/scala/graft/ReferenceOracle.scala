@@ -6,8 +6,12 @@ import scala.collection.mutable
   *
   * The reference's inter-thread pop order is racy; the deterministic
   * re-expression (SURVEY §7.4 risk 1) defines each superstep's pop set as:
-  * global top-B by (priority desc, url asc) subject to a per-host politeness
-  * cap of k. This oracle executes that rule sequentially over the same
+  * per-host politeness cap of k, then per-BUCKET top-(B/nBuckets) by
+  * (priority desc, url asc) — the batched form of the reference's
+  * round-robin over its 64 pqueues (src/scheduler.rs:139-147), where
+  * bucket = xxhash64(url) % nBuckets exactly as the engine routes
+  * (src/main.rs:322-325 analog). This oracle executes that rule
+  * sequentially over the same
   * deterministic corpus; the Spark engine must match it batch-for-batch
   * (set equality per batch) and on the exact final frontier/seen set
   * (north_rule: "matching the reference's crawl ordering and URL-seen set
@@ -43,8 +47,8 @@ object ReferenceOracle {
     var batch = 0
     var doneLoop = false
     while (!doneLoop && batch < cfg.maxBatches) {
-      // pop rule: per-host top-k by (priority desc, url asc), then global
-      // top-B by the same order (identical to Frontier.popBatch)
+      // pop rule: per-host top-k by (priority desc, url asc), then per-bucket
+      // top-(B/nBuckets) by the same order (identical to Frontier.popBatch)
       val candidates = frontier.iterator
         .filter(!_._2.popped)
         .map { case (url, e) => (url, e.host, e.priority) }
@@ -54,7 +58,12 @@ object ReferenceOracle {
         .values
         .flatMap(_.sortBy(c => (-c._3, c._1)).take(cfg.perHostCap))
         .toSeq
-      val pop = perHost.sortBy(c => (-c._3, c._1)).take(cfg.batchSize)
+      val budget = Frontier.perBucketBudget(cfg)
+      val pop = perHost
+        .groupBy(c => Frontier.bucketOf(c._1, cfg.nBuckets))
+        .values
+        .flatMap(_.sortBy(c => (-c._3, c._1)).take(budget))
+        .toSeq
 
       if (pop.isEmpty) doneLoop = true
       else {

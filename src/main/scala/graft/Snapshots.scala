@@ -37,6 +37,8 @@ object Snapshots {
   def popBatchPath(root: String, batch: Int): String = s"${batchDir(root, batch)}/popbatch"
   def filtersPath(root: String, batch: Int): String = s"${batchDir(root, batch)}/filters"
   def metricsPath(root: String): String = s"$root/metrics"
+  def postingsPath(root: String): String = s"$root/index/postings"
+  def docmetaPath(root: String): String = s"$root/index/docmeta"
 
   /** Atomic manifest commit: write sidecar history file, then rename a temp
     * over the MANIFEST.json pointer (the parquet files it references are

@@ -23,18 +23,27 @@ class FrontierSpec extends AnyFunSuite {
   test("salted two-phase pop == unsalted single-window pop (exactness under skew)") {
     val entries = mkFrontier(2000, 11L)
     val df = spark.createDataset(entries).toDF()
+      .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
     val got = Frontier.popBatch(df, cfg)
       .select("url").collect().map(_.getString(0)).toSet
 
-    // naive direct rule
+    // naive direct rule: single host window (no salting), then per-bucket
+    // budget — identical result proves the salted two-phase cap is exact
     val naive = df.filter(!col("popped"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("host")).orderBy(col("priority").desc, col("url").asc)))
       .filter(col("rk") <= cfg.perHostCap)
-      .orderBy(col("priority").desc, col("url").asc)
-      .limit(cfg.batchSize)
+      .withColumn("rk2", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk2") <= Frontier.perBucketBudget(cfg))
       .select("url").collect().map(_.getString(0)).toSet
     assert(got == naive)
+
+    // pure-Scala bucket twin matches the Catalyst bucket column
+    val rows = df.select("url", "bucket").collect()
+    rows.foreach { r =>
+      assert(Frontier.bucketOf(r.getString(0), cfg.nBuckets) == r.getInt(1))
+    }
   }
 
   test("merge is order-insensitive: link batches split arbitrarily give the same frontier") {
