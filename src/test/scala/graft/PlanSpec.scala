@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that decide whether an operator
+  * survives a 100 TB / 1000-executor scale-up. Each test pins a physical
+  * plan invariant so a refactor that silently regresses the plan (drops a
+  * broadcast, adds a global sort, loses parquet pushdown) fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def executedPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so the plan string shows the real operators
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def frontierFixture(n: Int) = {
+    val rng = new scala.util.Random(7L)
+    spark.createDataset((0 until n).map { i =>
+      val host = s"h${rng.nextInt(20)}.example"
+      FrontierEntry(s"https://$host/d$i", host, 0, rng.nextInt(100).toLong,
+        popped = i % 5 == 0)
+    }).toDF().withColumn("bucket", Frontier.bucketCol(col("url"), 8))
+  }
+
+  test("fetch join broadcasts the pop batch — the corpus side never shuffles") {
+    val docs = Corpus.documents(spark, 42L, 200).toDF()
+    val pop = frontierFixture(50).select(col("url"), col("priority"))
+    val plan = executedPlanOf(Fetcher.fetch(pop, docs))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast fetch join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+  }
+
+  test("robots gate broadcasts the rules table") {
+    val pop = frontierFixture(50).select(col("url"), col("host"), col("priority"))
+    val robots = Corpus.robots(spark).toDF()
+    val plan = executedPlanOf(Robots.allowedBatch(pop, robots))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast robots join:\n$plan")
+  }
+
+  test("popBatch has no global single-partition sort or driver-side top-k") {
+    val plan = executedPlanOf(Frontier.popBatch(frontierFixture(500),
+      CrawlConfig(batchSize = 50, perHostCap = 3, nBuckets = 8, saltBuckets = 4)))
+    assert(!plan.contains("TakeOrderedAndProject"),
+      s"per-bucket budgets must not use a driver merge:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"no stage may funnel to one partition:\n$plan")
+  }
+
+  test("frontier merge partial-aggregates map-side (one shuffle on url)") {
+    val f = frontierFixture(300)
+    val links = Seq(Link("https://h1.example/d1", "h1.example", 2L)).toDS()
+      .groupBy($"url", $"host").agg(sum($"weight").as("weight"))
+    val emptyPop = spark.emptyDataset[FrontierEntry].toDF().select("url", "host")
+    val plan = executedPlanOf(
+      Frontier.merge(f, links, emptyPop, CrawlConfig(nBuckets = 8)))
+    assert(plan.contains("partial_"),
+      s"merge aggregate must have a map-side partial phase:\n$plan")
+  }
+
+  test("postings scan: term predicate pushes into the parquet reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    val docs = Corpus.documents(spark, 42L, 120).toDF()
+    val ok = Fetcher.okHtml(docs.withColumnRenamed("doc_id", "url"))
+    val (postings, _) = Indexer.index(ok, CrawlConfig(minTokens = 50), epoch = 0)
+    Indexer.writePostings(postings, dir)
+    val q = spark.read.parquet(dir).filter(col("term") === "spark")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,spark)]"),
+      s"term filter must reach the parquet scan:\n$plan")
+    // column pruning: a 2-column projection must not read score
+    val pruned = spark.read.parquet(dir).select("term", "doc_id")
+    val schema = pruned.queryExecution.executedPlan.toString
+    assert(schema.contains("ReadSchema: struct<term:string,doc_id:bigint>"),
+      s"projection must prune unread columns at the scan:\n$schema")
+  }
+
+  test("term extraction pipeline is UDF-free (whole-stage codegen eligible)") {
+    val df = Seq((1L, "<body><p>alpha beta</p></body>")).toDF("doc_id", "html")
+      .select(col("doc_id"), Parser.termsCol(col("html")).as("terms"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"),
+      s"token hot path must stay in Catalyst builtins:\n$plan")
+  }
+
+  test("dedup/minhash shuffle carries signatures, not documents") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "c d e f g h i")).toDF("doc_id", "text")
+    val sigs = Dedup2.minhashPlan(docs)
+    val plan = sigs.queryExecution.optimizedPlan.toString
+    // after the explode+groupBy, only (id, seed, minhash) survive — the text
+    // column must be pruned before the exchange
+    assert(!plan.contains("text#") || plan.indexOf("Exchange") == -1 ||
+      plan.indexOf("text#") < plan.indexOf("Exchange"),
+      s"document text must not cross the shuffle:\n$plan")
+  }
+
+  private object Dedup2 {
+    def minhashPlan(docs: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.minhashSignatures(
+        graft.ops.Dedup.docShingles(docs, "doc_id", "text", 3), k = 4)
+  }
+}
