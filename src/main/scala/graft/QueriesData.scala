@@ -97,6 +97,12 @@ object QueriesData {
     "q25_simhash" -> ((s, d) =>
       Dedup.simhash(tbl(s, d, "documents"), "doc_id", "text", bits = 32)),
 
+    // ---- composed near-dedup pipeline (LSH propose → Jaccard verify →
+    // keeper assignment) — the end-to-end curator operator -------------
+    "q39_near_dup_pipeline" -> ((s, d) =>
+      Dedup.nearDupKeepers(tbl(s, d, "documents"), "doc_id", "text",
+        shingleK = 3, hashes = 8, bands = 2, minJaccardMicro = 10000L)),
+
     // ---- similarity search / embedding dedup -------------------------
     "q26_cosine_topk" -> ((s, d) => {
       val e = tbl(s, d, "embeddings")
@@ -204,6 +210,22 @@ object QueriesData {
         "bitsum AS (SELECT id, bit, CAST(sum(((h >> bit) & 1) * 2 - 1) AS BIGINT) AS v " +
         "FROM toks, LATERAL unnest(generate_series(0, 31)) t(bit) GROUP BY id, bit) " +
         "SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY id"),
+
+    "q39_near_dup_pipeline" ->
+      (s"WITH $sqlShinglesCte, sigs AS (" +
+        s"SELECT id, seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed), " +
+        "banded AS (SELECT id, seed // 4 AS band, string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bandkey FROM sigs GROUP BY id, seed // 4), " +
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b ON a.band = b.band AND a.bandkey = b.bandkey AND a.id < b.id), " +
+        "sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id), " +
+        "inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter FROM cand c " +
+        "JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle GROUP BY c.id_a, c.id_b), " +
+        "ver AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id " +
+        "WHERE CAST(floor(inter * 1000000 / (sa.n + sb.n - inter)) AS BIGINT) >= 10000), " +
+        "keep AS (SELECT id_b AS id, min(id_a) AS min_nbr FROM ver GROUP BY id_b) " +
+        "SELECT d.doc_id AS id, coalesce(k.min_nbr, d.doc_id) AS keeper_id, " +
+        "CAST(CASE WHEN coalesce(k.min_nbr, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
+        "FROM documents d LEFT JOIN keep k ON k.id = d.doc_id"),
 
     "q26_cosine_topk" ->
       ("WITH pairs AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, " +

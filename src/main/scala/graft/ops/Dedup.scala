@@ -111,6 +111,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard verification restricted to a candidate-pair set: the
+    * at-scale shape (LSH proposes, exact verifies) — the shingle join runs
+    * per candidate pair, never all-pairs. */
+  def verifiedNearDups(shingled: DataFrame, candidates: DataFrame,
+                       minJaccardMicro: Long): DataFrame = {
+    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = shingled.select(col("id").as("id_a"), col("shingle"))
+    val b = shingled.select(col("id").as("id_b"), col("shingle"))
+    val inter = candidates.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard_micro", floor(col("inter") * 1000000L / col("uni")).cast("long"))
+      .filter(col("jaccard_micro") >= minJaccardMicro)
+      .select("id_a", "id_b", "jaccard_micro")
+  }
+
+  /** The composed near-dedup pipeline a training-data curator runs:
+    * shingle → MinHash signatures → LSH candidate pairs → exact-Jaccard
+    * verification → per-doc keeper assignment (keeper = min verified
+    * neighbor id; since candidate pairs are oriented id_a < id_b, one hop
+    * reaches each cluster's minimum for the dominant pairwise-dup case).
+    * Output: (id, keeper_id, is_dup). */
+  def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int, hashes: Int, bands: Int,
+                     minJaccardMicro: Long): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, shingleK)
+    val cand = lshCandidates(minhashSignatures(sh, hashes), hashes, bands)
+    val dups = verifiedNearDups(sh, cand, minJaccardMicro)
+    df.select(col(idCol).as("id"))
+      .join(dups.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("min_nbr")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("min_nbr"), col("id")).as("keeper_id"))
+      .withColumn("is_dup", (col("id") =!= col("keeper_id")).cast("long"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
