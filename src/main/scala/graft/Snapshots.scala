@@ -58,4 +58,17 @@ object Snapshots {
     if (!Files.exists(p)) None
     else Some(Serialization.read[Manifest](Files.readString(p)))
   }
+
+  /** Metrics history = the metrics field of every committed "done" manifest,
+    * sorted by batch. The manifest sidecar files ARE the durable per-batch
+    * metrics sink (no extra write job per superstep). */
+  def readMetricsHistory(root: String): Seq[BatchMetrics] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("manifest-\\d+-done\\.json"))
+      .flatMap(p => Serialization.read[Manifest](Files.readString(p)).metrics)
+      .toSeq.sortBy(_.batch)
+  }
 }
