@@ -194,12 +194,12 @@ object QueriesData {
 
     "q23_minhash_sigs" ->
       (s"WITH $sqlShinglesCte " +
-        s"SELECT id, CAST(seed AS BIGINT) AS seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "SELECT id, CAST(seed AS BIGINT) AS seed, " + "min(((2*seed+1) * ((" + sqlHash60("shingle") + ") % 2147483647) + (seed * 1540483477) % 2147483647) % 2147483647) AS minhash " +
         "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed"),
 
     "q24_lsh_pairs" ->
       (s"WITH $sqlShinglesCte, sigs AS (" +
-        s"SELECT id, seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "SELECT id, seed, " + "min(((2*seed+1) * ((" + sqlHash60("shingle") + ") % 2147483647) + (seed * 1540483477) % 2147483647) % 2147483647) AS minhash " +
         "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed), " +
         "banded AS (SELECT id, seed // 4 AS band, string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bandkey FROM sigs GROUP BY id, seed // 4) " +
         "SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b " +
@@ -213,7 +213,7 @@ object QueriesData {
 
     "q39_near_dup_pipeline" ->
       (s"WITH $sqlShinglesCte, sigs AS (" +
-        s"SELECT id, seed, min(${sqlHash60("CAST(seed AS VARCHAR) || '#' || shingle")}) AS minhash " +
+        "SELECT id, seed, " + "min(((2*seed+1) * ((" + sqlHash60("shingle") + ") % 2147483647) + (seed * 1540483477) % 2147483647) % 2147483647) AS minhash " +
         "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed), " +
         "banded AS (SELECT id, seed // 4 AS band, string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bandkey FROM sigs GROUP BY id, seed // 4), " +
         "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b ON a.band = b.band AND a.bandkey = b.bandkey AND a.id < b.id), " +

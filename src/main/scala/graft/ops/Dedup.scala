@@ -73,16 +73,34 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** MinHash signatures: for seed s in [0,k), min over shingles of
-    * hash60(s # shingle). Output (id, seed, minhash) — k rows per doc.
-    * One narrow explode + one groupBy(id, seed) with map-side partial min:
-    * the shuffle carries k longs per doc regardless of doc size. */
+  /** MinHash permutation family (Broder 1997): ONE base hash per shingle,
+    * then k affine permutations h_s(x) = ((2s+1)·x + b_s) mod p over the
+    * Mersenne prime p = 2^31−1 (products stay < 2^35 — portable BIGINT math
+    * in any engine, no overflow). */
+  val MinhashP = 2147483647L
+  private val MinhashBSalt = 1540483477L
+
+  def minhashPerm(seed: Column, base: Column): Column =
+    ((seed * 2L + 1L) * base + (seed * MinhashBSalt) % MinhashP) % MinhashP
+
+  /** Pure-Scala twin for tests/oracles. */
+  def minhashPermLocal(seed: Long, shingleHash60: Long): Long = {
+    val base = shingleHash60 % MinhashP
+    ((seed * 2 + 1) * base + (seed * MinhashBSalt) % MinhashP) % MinhashP
+  }
+
+  /** MinHash signatures: for seed s in [0,k), min over shingles of the
+    * permuted base hash. Output (id, seed, minhash) — k rows per doc.
+    * The expensive md5 base hash computes ONCE per shingle; the k-way
+    * expansion is three integer ops per row. One narrow explode + one
+    * groupBy(id, seed) with map-side partial min: the shuffle carries k
+    * longs per doc regardless of doc size. */
   def minhashSignatures(shingled: DataFrame, k: Int): DataFrame =
     shingled
-      .select(col("id"),
-        explode(sequence(lit(0), lit(k - 1), lit(1))).as("seed"),
-        col("shingle"))
-      .withColumn("h", TextOps.hash60(concat(col("seed").cast("string"), lit("#"), col("shingle"))))
+      .withColumn("base", TextOps.hash60(col("shingle")) % MinhashP)
+      .select(col("id"), col("base"),
+        explode(sequence(lit(0L), lit(k - 1L), lit(1L))).as("seed"))
+      .withColumn("h", minhashPerm(col("seed"), col("base")))
       .groupBy(col("id"), col("seed"))
       .agg(min(col("h")).as("minhash"))
 

@@ -65,11 +65,12 @@ class OpsSpec extends AnyFunSuite {
   test("minhash: signature value == naive min over shingle hashes; LSH finds the exact dup") {
     val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, k = 4)
-      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val shingles0 = texts(0)._2.split(" ").sliding(3).map(_.mkString(" ")).toSet
     (0 until 4).foreach { seed =>
-      val naive = shingles0.map(s => TextOps.hash60Local(s"$seed#$s")).min
-      assert(sigs((0L, seed)) == naive)
+      val naive = shingles0
+        .map(s => Dedup.minhashPermLocal(seed.toLong, TextOps.hash60Local(s))).min
+      assert(sigs((0L, seed.toLong)) == naive)
     }
     val cand = Dedup.lshCandidates(Dedup.minhashSignatures(sh, k = 4), k = 4, bands = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
