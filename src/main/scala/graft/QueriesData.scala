@@ -125,6 +125,21 @@ object QueriesData {
       MultiModal.metaOnly(
         MultiModal.assetsFromText(tbl(s, d, "documents"), "doc_id", "text"))),
 
+    // resize planning: derived dims (SQL-expressible so the geometry math
+    // gets an exact oracle; real dims come from the decode pass, q36)
+    "q40_media_resize" -> ((s, d) => {
+      val feats = tbl(s, d, "documents").select(col("doc_id"),
+        lit("image").as("kind"),
+        (col("n_chars") % 900 + 100).cast("int").as("width"),
+        ((col("n_chars") * 7) % 700 + 100).cast("int").as("height"))
+      MultiModal.resizeToFit(feats, 400, 300)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("out_w").cast("long").as("out_w"),
+          col("out_h").cast("long").as("out_h"))
+    }),
+
     // ---- event-stream analytics -------------------------------------
     "q31_event_window" -> ((s, d) =>
       tbl(s, d, "events")
@@ -270,6 +285,13 @@ object QueriesData {
       ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'flac' ELSE 'h264' END AS codec FROM documents"),
+
+    "q40_media_resize" ->
+      ("WITH dims AS (SELECT doc_id, CAST(n_chars % 900 + 100 AS BIGINT) AS w, CAST((n_chars * 7) % 700 + 100 AS BIGINT) AS h FROM documents) " +
+        "SELECT doc_id, w AS width, h AS height, " +
+        "CAST(CASE WHEN w <= 400 AND h <= 300 THEN w WHEN w * 300 >= h * 400 THEN 400 ELSE w * 300 // h END AS BIGINT) AS out_w, " +
+        "CAST(CASE WHEN w <= 400 AND h <= 300 THEN h WHEN w * 300 >= h * 400 THEN h * 400 // w ELSE 300 END AS BIGINT) AS out_h " +
+        "FROM dims"),
 
     "q31_event_window" ->
       ("SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +

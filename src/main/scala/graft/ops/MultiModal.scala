@@ -88,6 +88,27 @@ object MultiModal {
   def metaOnly(assets: DataFrame): DataFrame =
     assets.select(col("doc_id"), col("kind"), col("n_bytes"), col("codec"))
 
+  /** Resize plan: fit each asset's (width, height) into a target box
+    * preserving aspect ratio — integer math, pure Catalyst (the actual
+    * pixel resample would happen in the same batch decode pass as
+    * [[extractFeatures]]; this computes the target geometry the way a
+    * preprocessing pipeline plans it). */
+  def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    // scale = min(maxW/w, maxH/h, 1) in exact rational arithmetic:
+    // out_w = floor(w * num / den) with (num, den) the tighter bound
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val useWidthBound = w * maxH >= h * maxW // width is the tighter constraint
+    features.select(
+      col("doc_id"), col("kind"), col("width"), col("height"),
+      when(w <= maxW && h <= maxH, w)
+        .when(useWidthBound, lit(maxW.toLong))
+        .otherwise(w * maxH / h).cast("int").as("out_w"),
+      when(w <= maxW && h <= maxH, h)
+        .when(useWidthBound, h * maxW / w)
+        .otherwise(lit(maxH.toLong)).cast("int").as("out_h"))
+  }
+
   /** Frame-sampling plan shape for video: explode a frame index sequence
     * bounded by n_frames, keeping the payload reference — the downstream
     * decode touches only sampled frames. Pure Catalyst. */

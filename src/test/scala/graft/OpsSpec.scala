@@ -156,6 +156,18 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.columns.toSeq == Seq("doc_id", "kind", "n_bytes", "codec"))
   }
 
+  test("multimodal: resize fits the target box and preserves aspect ratio") {
+    val feats = Seq(
+      (1L, "image", 800, 600), (2L, "image", 100, 50), (3L, "video", 200, 1000))
+      .toDF("doc_id", "kind", "width", "height")
+    val out = MultiModal.resizeToFit(feats, 400, 300)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) == ((400, 300))) // downscale by exactly 1/2
+    assert(out(2L) == ((100, 50)))  // already fits: untouched
+    assert(out(3L) == ((60, 300)))  // height-bound: 200*300/1000 = 60
+    out.values.foreach { case (w, h) => assert(w <= 400 && h <= 300) }
+  }
+
   test("multimodal: stub decode is deterministic; frame sampling bounded by n_frames") {
     val assets = MultiModal.assetsFromText(docs, "doc_id", "text")
     val f1 = MultiModal.extractFeatures(spark, assets).collect().sortBy(_.doc_id)
