@@ -47,11 +47,19 @@ object CrawlDemo {
       .orderBy(org.apache.spark.sql.functions.col("priority").desc).limit(8).show(false)
 
     query.foreach { q =>
-      // search the index the crawl built live (one epoch per superstep)
-      val postings = spark.read.parquet(Snapshots.postingsPath(stateDir))
-      val docmeta = spark.read.parquet(Snapshots.docmetaPath(stateDir))
-      println(s"\nsearch: '$q' (over ${docmeta.count()} crawled+indexed docs)")
-      Search.search(spark, postings, docmeta, q, topK = 10, termCountGate = 0).show(false)
+      // search the index the crawl built live (one epoch per superstep).
+      // If no superstep indexed anything (all docs under minTokens / zero ok
+      // fetches) the sink dirs hold no parquet files and schema inference
+      // fails — report that instead of crashing.
+      try {
+        val postings = spark.read.parquet(Snapshots.postingsPath(stateDir))
+        val docmeta = spark.read.parquet(Snapshots.docmetaPath(stateDir))
+        println(s"\nsearch: '$q' (over ${docmeta.count()} crawled+indexed docs)")
+        Search.search(spark, postings, docmeta, q, topK = 10, termCountGate = 0).show(false)
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          println(s"\nsearch: '$q' — no documents indexed")
+      }
     }
     spark.stop()
   }

@@ -84,25 +84,19 @@ object CrawlLoop {
           committed
       }
       pendingPop = None
-      // popped + robots-allowed in ONE job over the (tiny) committed pop
-      // batch: the robots join is a broadcast, so this costs one scan of
-      // ≤ batchSize rows instead of two separate count actions.
-      val popStats = pop.persist()
-        .join(broadcast(robots.select(col("host"), col("disallow"))), Seq("host"), "left")
-        .withColumn("path", Robots.pathCol(col("url")))
-        .agg(count(lit(1)).as("popped"),
-          count(when(col("disallow").isNull ||
-            !exists(col("disallow"), p => col("path").startsWith(p)), 1)).as("allowed"))
-        .first()
-      val popped = popStats.getLong(0)
-      val allowedCount = popStats.getLong(1)
+      // `popped` counts the pop batch itself, BEFORE any join: a robots table
+      // with an (invalid) multi-row host must never inflate the metric. The
+      // batch is bounded by nBuckets * ceil(batchSize / nBuckets) — a
+      // per-bucket-rounded target, not a hard cap (Frontier.perBucketBudget).
+      val popped = pop.persist().count()
       if (popped == 0) { done = true }
       else {
         // ---- phase 2: robots gate → fetch → parse ----
         // One corpus scan per superstep: the fetch join materializes once
-        // (≤ batchSize rows), and matched/fetched stats + the ok-HTML subset
-        // all come from that cache instead of re-scanning the corpus.
+        // (≤ batch-budget rows), and matched/fetched stats + the ok-HTML
+        // subset all come from that cache instead of re-scanning the corpus.
         val allowed = Robots.allowedBatch(pop, robots)
+        val allowedCount = allowed.count()
         val fetchedAll = Fetcher.fetch(allowed, documents).persist()
         val fetchStats = fetchedAll.agg(
           count(lit(1)).as("matched"),
@@ -120,8 +114,7 @@ object CrawlLoop {
         if (cfg.indexWhileCrawling) {
           val (postings, docmeta) = Indexer.index(ok, cfg, epoch = batch)
           Indexer.writePostings(postings, Snapshots.postingsPath(stateDir))
-          docmeta.write.mode(SaveMode.Append)
-            .parquet(Snapshots.docmetaPath(stateDir))
+          Indexer.writeDocmeta(docmeta, Snapshots.docmetaPath(stateDir))
         }
 
         val links = Parser.linksOf(ok, cfg).persist()

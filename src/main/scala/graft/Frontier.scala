@@ -57,6 +57,13 @@ object Frontier {
     * The returned frame carries `was_existing` / `was_incoming` flags so
     * the caller derives the duplicate-hit / fresh-URL metrics
     * (src/monitor.rs:57-59) from the same pass — no extra join.
+    *
+    * PRECONDITION: every url in `poppedUrls` must already exist in
+    * `frontier` ∪ `links`. The pop-marker side is a LEFT join, so a marker
+    * for an unknown url is silently dropped (no tombstone row is created).
+    * This holds by construction in the crawl loop — pop batches are drawn
+    * from the frontier — but callers feeding external pop markers must
+    * pre-union them into `frontier` first.
     */
   def merge(frontier: DataFrame, links: DataFrame, poppedUrls: DataFrame,
             cfg: CrawlConfig): DataFrame = {

@@ -73,12 +73,27 @@ object Indexer {
   }
 
   /** Postings sink (S6): partitioned by epoch, term-sorted within files for
-    * row-group pruning on term predicates. */
+    * row-group pruning on term predicates.
+    *
+    * Dynamic partition OVERWRITE (not append): each crawl superstep is one
+    * epoch, so a replayed superstep (crash after the index write, before the
+    * 'done' manifest commit) REPLACES its epoch partition instead of
+    * appending duplicate (epoch, doc_id, term) rows — which would break
+    * Search's map_from_entries and double-count df stats. This makes the
+    * index sink idempotent per epoch, like every other per-superstep write. */
   def writePostings(postings: DataFrame, path: String): Unit =
     postings
       .repartition(col("epoch"), col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode("append").partitionBy("epoch").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
+
+  /** Docmeta sink — same epoch-idempotent dynamic-overwrite contract. */
+  def writeDocmeta(docmeta: DataFrame, path: String): Unit =
+    docmeta.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
 
   /** Shard merge (the preprocessor binary, preprocessor/src/main.rs:29-60):
     * doc ids are globally unique hashes here, so the merge is a pure union —

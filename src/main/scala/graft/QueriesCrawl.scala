@@ -34,16 +34,22 @@ object QueriesCrawl {
   def urlExpr(id: Column): Column = {
     val ids = id.cast("string")
     val pseg = concat(lit("p"), (id % 5).cast("string"))
+    // Shallow selector shape (element_at over a literal array, indexed by the
+    // modulus) instead of nested CASE chains: the nested-CASE form blew the
+    // generated-code size past janino's method limit whenever urlExpr was
+    // composed 2-3x in one projection (q05/q06/q09), knocking those plans out
+    // of whole-stage codegen. Values are bit-identical to the CASE version.
+    val mid = when(id % 9 < 3, pseg)
+      .otherwise(concat(lit("q"), (id % 3).cast("string")))
     val path = when(id % 17 === 0, concat(lit("/t/t/t/d"), ids))
-      .when(id % 9 < 3, concat(lit("/"), pseg, lit("/"), pseg, lit("/d"), ids))
-      .otherwise(concat(lit("/"), pseg, lit("/q"), (id % 3).cast("string"), lit("/d"), ids))
-    val ext = when(id % 11 === 0, lit(".png"))
-      .when(id % 11 === 1, lit(".css"))
-      .when(id % 11 === 2, lit(".pdf"))
-      .otherwise(lit(""))
-    val tail = when(id % 6 === 0, concat(lit("?ref="), (id % 4).cast("string")))
-      .when(id % 6 === 1, lit("#sec"))
-      .otherwise(lit(""))
+      .otherwise(concat(lit("/"), pseg, lit("/"), mid, lit("/d"), ids))
+    val ext = element_at(
+      array((Seq(".png", ".css", ".pdf") ++ Seq.fill(8)("")).map(lit): _*),
+      (id % 11).cast("int") + 1)
+    val tail = element_at(
+      array(concat(lit("?ref="), (id % 4).cast("string")) +:
+        (lit("#sec") +: Seq.fill(4)(lit(""))): _*),
+      (id % 6).cast("int") + 1)
     concat(lit("https://"), hostExpr(id), path, ext, tail)
   }
 

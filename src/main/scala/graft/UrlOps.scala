@@ -103,13 +103,20 @@ object UrlOps {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
 
-  /** F1 as a pure Catalyst expression — no UDF (codegen-friendly). */
-  def clearlyNotHtmlCol(url: Column): Column = {
-    val suffixHit = notHtmlSuffixes
-      .map(s => url.endsWith(lit(s)))
-      .reduce(_ || _)
-    suffixHit || !url.startsWith("http")
-  }
+  /** F1 as a pure Catalyst expression — no UDF (codegen-friendly).
+    *
+    * ONE anchored regex instead of a 30-term endsWith OR chain: when the url
+    * is itself a derived expression, CollapseProject inlines it into every
+    * OR term and the generated method blows janino's 64 KB limit (q01 fell
+    * back to interpreted eval). `\z` anchors at absolute end-of-input ('$'
+    * would also match before a trailing newline). Semantics identical,
+    * case-sensitive, suffixes regex-quoted. */
+  private val notHtmlSuffixRe: String =
+    notHtmlSuffixes.map(java.util.regex.Pattern.quote)
+      .mkString("(?:", "|", ")\\z")
+
+  def clearlyNotHtmlCol(url: Column): Column =
+    url.rlike(notHtmlSuffixRe) || !url.startsWith("http")
 
   /** L4 as pure Catalyst: last two labels of the host. */
   def domainRootCol(hostCol: Column): Column = {
