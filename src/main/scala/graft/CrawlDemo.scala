@@ -43,7 +43,7 @@ object CrawlDemo {
     val manifest = Snapshots.readCurrent(stateDir).get
     println(s"\nmanifest: batch=${manifest.batch} phase=${manifest.phase} buckets=${manifest.perBucketRows.size}")
     println("\ntop frontier entries by priority:")
-    spark.read.parquet(manifest.frontierPath)
+    Snapshots.readFrontier(spark, manifest.bucketPaths)
       .orderBy(org.apache.spark.sql.functions.col("priority").desc).limit(8).show(false)
 
     query.foreach { q =>

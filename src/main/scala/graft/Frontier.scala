@@ -73,7 +73,8 @@ object Frontier {
     val incoming = links
       .groupBy(col("url"))
       .agg(sum(col("weight")).cast("long").as("l_weight"),
-        max(col("host")).as("l_host"))
+        max(col("host")).as("l_host"),
+        count(lit(1)).as("l_n"))
       .withColumn("src_incoming", lit(1))
     val popMarkers = poppedUrls.select(col("url")).distinct()
       .withColumn("mark_popped", lit(true))
@@ -88,7 +89,11 @@ object Frontier {
         (coalesce(col("f_popped"), lit(false)) ||
           coalesce(col("mark_popped"), lit(false))).as("popped"),
         coalesce(col("src_existing"), lit(0)).as("was_existing"),
-        coalesce(col("src_incoming"), lit(0)).as("was_incoming"))
+        coalesce(col("src_incoming"), lit(0)).as("was_incoming"),
+        // raw incoming-link count per url: lets the caller derive the
+        // links-extracted metric from the merge pass itself (no extra
+        // count job over the link stream)
+        coalesce(col("l_n"), lit(0L)).as("n_links"))
       .withColumn("bucket", bucketCol(col("url"), cfg.nBuckets))
   }
 

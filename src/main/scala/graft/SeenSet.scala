@@ -219,25 +219,63 @@ object SeenSet {
         mergeCuckoo(col("cuckoos")).as("cuckoo"))
   }
 
-  private val bloomContainsUdf = udf((bytes: Array[Byte], url: String) =>
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes)).mightContainString(url))
-  private val cuckooContainsUdf = udf((bytes: Array[Byte], url: String) =>
-    CuckooFilter.deserialize(bytes).contains(url))
+  /** Per-partition membership probe — the scale-correct shape.
+    *
+    * The old form (a UDF over a filter-bytes column joined per row) would
+    * deserialize a multi-MB sketch for EVERY candidate link; this one
+    * broadcasts the whole filter table once (the reference holds exactly
+    * this sketch in RAM on its single node — 20 GB Bloom,
+    * src/main-old.rs:57-58) and deserializes each bucket's filter at most
+    * once per (partition, bucket), via a lazy per-partition cache. The probe
+    * is a narrow map: NO shuffle of the link stream. If the caller has
+    * already partitioned links by bucket, each task deserializes exactly its
+    * own buckets; if the total sketch ever outgrows executor memory, raise
+    * nBuckets and swap the broadcast for a bucket-co-partitioned zip join —
+    * the column contract (input + boolean `out`) is unchanged.
+    */
+  private def probeWith[F](links: DataFrame, filters: DataFrame,
+      filterColName: String, deser: Array[Byte] => F,
+      containsFn: (F, String) => Boolean, out: String): DataFrame = {
+    val spark = links.sparkSession
+    val fmap: Map[Int, Array[Byte]] = filters
+      .select(col("bucket").cast("int"), col(filterColName))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val bc = spark.sparkContext.broadcast(fmap)
+    val schema = links.schema.add(out, org.apache.spark.sql.types.BooleanType)
+    val bucketIdx = links.schema.fieldIndex("bucket")
+    val urlIdx = links.schema.fieldIndex("url")
+    links.mapPartitions { it =>
+      val cache = scala.collection.mutable.HashMap.empty[Int, Option[F]]
+      it.map { r =>
+        val b = r.getInt(bucketIdx)
+        val f = cache.getOrElseUpdate(b, bc.value.get(b).map(deser))
+        val hit = f.exists(containsFn(_, r.getString(urlIdx)))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hit)
+      }
+    }(Encoders.row(schema))
+  }
 
-  def bloomContains(bytes: Column, url: Column): Column = bloomContainsUdf(bytes, url)
-  def cuckooContains(bytes: Column, url: Column): Column = cuckooContainsUdf(bytes, url)
+  /** Adds boolean column `out`: Bloom might-contain(url) for the row's
+    * bucket (false for buckets with no filter). No false negatives. */
+  def probeBloom(links: DataFrame, filters: DataFrame,
+                 out: String = "seenish"): DataFrame =
+    probeWith[BloomFilter](links, filters, "bloom",
+      bytes => BloomFilter.readFrom(new ByteArrayInputStream(bytes)),
+      (f, url) => f.mightContainString(url), out)
+
+  /** Adds boolean column `out`: cuckoo contains(url) for the row's bucket. */
+  def probeCuckoo(links: DataFrame, filters: DataFrame,
+                  out: String = "seenish"): DataFrame =
+    probeWith[CuckooFilter](links, filters, "cuckoo",
+      CuckooFilter.deserialize, (f, url) => f.contains(url), out)
 
   /** Split candidate links into (probably-seen, definitely-new) using the
-    * per-bucket Bloom filters: links shuffle by bucket, the filter table
-    * (nBuckets rows) joins in. Bloom guarantees no false negatives, so
-    * "definitely-new" is exact — those rows skip the exact anti-join
+    * per-bucket Bloom filters. Bloom guarantees no false negatives, so
+    * "definitely-new" is exact — those rows skip the frontier join
     * entirely (J1's shuffle-avoidance at scale, SURVEY §2.5). */
   def splitByBloom(links: DataFrame, filters: DataFrame): (DataFrame, DataFrame) = {
-    val joined = links.join(filters.select("bucket", "bloom"), Seq("bucket"), "left")
-    val seenish = joined.filter(col("bloom").isNotNull &&
-      bloomContains(col("bloom"), col("url"))).drop("bloom")
-    val fresh = joined.filter(col("bloom").isNull ||
-      !bloomContains(col("bloom"), col("url"))).drop("bloom")
-    (seenish, fresh)
+    val probed = probeBloom(links, filters)
+    (probed.filter(col("seenish")).drop("seenish"),
+      probed.filter(!col("seenish")).drop("seenish"))
   }
 }

@@ -21,9 +21,15 @@ import org.json4s.jackson.Serialization
 final case class Manifest(
     batch: Int,
     phase: String, // "pop" | "done"
-    frontierPath: String, // committed frontier this batch is based on
+    frontierPath: String, // frontier dir WRITTEN this batch (delta buckets)
     popBatchPath: String,
     filtersPath: String,
+    // The authoritative frontier view: bucket id -> the batch-frontier dir
+    // holding that bucket's current rows. A superstep rewrites only the
+    // buckets it changed (delta snapshot — the reference's dirty-page
+    // analog, src/pqueuethread.rs:58-87); unchanged buckets stay referenced
+    // at their last-written dir, so snapshot IO is O(delta), not O(frontier).
+    bucketPaths: Map[String, String],
     perBucketRows: Map[String, Long], // lineage: frontier rows per bucket
     metrics: Option[BatchMetrics],
     seed: Long,
@@ -57,6 +63,22 @@ object Snapshots {
     val p = Paths.get(s"$root/MANIFEST.json")
     if (!Files.exists(p)) None
     else Some(Serialization.read[Manifest](Files.readString(p)))
+  }
+
+  /** Materialize the frontier from a delta-snapshot bucket map: one
+    * partition-pruned parquet scan per distinct batch dir (each dir is
+    * partitionBy("bucket"), so the isin filter prunes to exactly the bucket
+    * subdirs this view owns), unioned. At most nBuckets branches. */
+  def readFrontier(spark: org.apache.spark.sql.SparkSession,
+                   bucketPaths: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(bucketPaths.nonEmpty, "empty frontier bucket map")
+    bucketPaths.groupBy(_._2).map { case (dir, owned) =>
+      val bs = owned.keys.map(_.toInt).toSeq
+      spark.read.parquet(dir)
+        .filter(col("bucket").isin(bs: _*))
+        .select("url", "host", "bucket", "priority", "popped")
+    }.reduce(_.unionByName(_))
   }
 
   /** Metrics history = the metrics field of every committed "done" manifest,

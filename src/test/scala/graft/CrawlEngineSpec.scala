@@ -65,7 +65,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     val dir = tmpDir("media")
     runEngine(dir)
     val m = Snapshots.readCurrent(dir).get
-    val urls = spark.read.parquet(m.frontierPath).select("url")
+    val urls = Snapshots.readFrontier(spark, m.bucketPaths).select("url")
       .collect().map(_.getString(0))
     assert(urls.nonEmpty)
     assert(!urls.exists(_.contains("/m/")), "media_ref leaked into frontier")
@@ -88,7 +88,7 @@ class CrawlEngineSpec extends AnyFunSuite {
 
     // final frontier exact equality on (url, host, priority, popped)
     val m = Snapshots.readCurrent(dir).get
-    val engineFrontier = spark.read.parquet(m.frontierPath)
+    val engineFrontier = Snapshots.readFrontier(spark, m.bucketPaths)
       .select("url", "host", "priority", "popped")
       .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
       .toMap
@@ -132,7 +132,7 @@ class CrawlEngineSpec extends AnyFunSuite {
   test("resume from checkpoint reproduces the uninterrupted run") {
     val full = tmpDir("full")
     runEngine(full)
-    val finalFull = spark.read.parquet(Snapshots.readCurrent(full).get.frontierPath)
+    val finalFull = Snapshots.readFrontier(spark, Snapshots.readCurrent(full).get.bucketPaths)
       .select("url", "priority", "popped").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
 
@@ -140,7 +140,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     val part = tmpDir("part")
     runEngine(part, cfg.copy(maxBatches = 3))
     val resumed = runEngine(part) // fresh invocation resumes from MANIFEST
-    val finalPart = spark.read.parquet(Snapshots.readCurrent(part).get.frontierPath)
+    val finalPart = Snapshots.readFrontier(spark, Snapshots.readCurrent(part).get.bucketPaths)
       .select("url", "priority", "popped").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
 
@@ -163,20 +163,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     // what the loop's phase 1 does, then abandon
     val m2 = Snapshots.readCurrent(dir).get
     assert(m2.batch == 1 && m2.phase == "done")
-    val frontier = spark.read.parquet(m2.frontierPath)
+    val frontier = Snapshots.readFrontier(spark, m2.bucketPaths)
     val pop = Frontier.popBatch(frontier, cfg)
     pop.write.mode("overwrite").parquet(Snapshots.popBatchPath(dir, 2))
-    Snapshots.commit(dir, Manifest(2, "pop", m2.frontierPath,
-      Snapshots.popBatchPath(dir, 2), m2.filtersPath, Map.empty, None, seed, nDocs))
+    Snapshots.commit(dir, Manifest(2, "pop", "",
+      Snapshots.popBatchPath(dir, 2), m2.filtersPath, m2.bucketPaths,
+      m2.perBucketRows, None, seed, nDocs))
 
     val resumed = runEngine(dir) // must pick up the committed pop batch
-    val finalPart = spark.read.parquet(Snapshots.readCurrent(dir).get.frontierPath)
+    val finalPart = Snapshots.readFrontier(spark, Snapshots.readCurrent(dir).get.bucketPaths)
       .select("url", "priority", "popped").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
 
     val full = tmpDir("midfull")
     runEngine(full)
-    val finalFull = spark.read.parquet(Snapshots.readCurrent(full).get.frontierPath)
+    val finalFull = Snapshots.readFrontier(spark, Snapshots.readCurrent(full).get.bucketPaths)
       .select("url", "priority", "popped").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(finalPart == finalFull)

@@ -11,19 +11,15 @@ class SeenSetSpec extends AnyFunSuite {
     (0 until n).map(i => s"https://h${i % 7}.example/$tag/d$i").toDF("url")
       .withColumn("bucket", Frontier.bucketCol(col("url"), 8))
 
-  test("per-bucket bloom+cuckoo filters: no false negatives via Spark aggregator") {
+  test("per-bucket bloom+cuckoo filters: no false negatives via per-partition probe") {
     val seen = urlsDf(3000, "seen")
     val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000).persist()
     assert(filters.count() == 8)
 
-    val checked = seen.join(filters, Seq("bucket"))
-      .select(
-        SeenSet.bloomContains(col("bloom"), col("url")).as("b"),
-        SeenSet.cuckooContains(col("cuckoo"), col("url")).as("c"))
-      .agg(sum(when(col("b"), 0).otherwise(1)), sum(when(col("c"), 0).otherwise(1)))
-      .collect()(0)
-    assert(checked.getLong(0) == 0, "bloom false negative")
-    assert(checked.getLong(1) == 0, "cuckoo false negative")
+    val bMisses = SeenSet.probeBloom(seen, filters).filter(!col("seenish")).count()
+    val cMisses = SeenSet.probeCuckoo(seen, filters).filter(!col("seenish")).count()
+    assert(bMisses == 0, "bloom false negative")
+    assert(cMisses == 0, "cuckoo false negative")
   }
 
   test("splitByBloom: 'fresh' side is exact (bloom has no false negatives)") {
@@ -38,14 +34,22 @@ class SeenSetSpec extends AnyFunSuite {
     assert(seenish.count() >= 500 && seenish.count() <= 560)
   }
 
+  test("probe is a narrow map: no join, no shuffle of the link stream") {
+    val seen = urlsDf(1000, "seen")
+    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000)
+    val probed = SeenSet.probeBloom(urlsDf(400, "x"), filters)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe plan contains a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
+  }
+
   test("incremental filter-table merge keeps old membership") {
     val a = SeenSet.buildFilters(urlsDf(1000, "a"), 1000)
     val b = SeenSet.buildFilters(urlsDf(1000, "b"), 1000)
-    val merged = SeenSet.mergeFilterTables(a, b)
+    val merged = SeenSet.mergeFilterTables(a, b).persist()
     val all = urlsDf(1000, "a").union(urlsDf(1000, "b"))
-    val misses = all.join(merged, Seq("bucket"))
-      .filter(!SeenSet.bloomContains(col("bloom"), col("url")) ||
-        !SeenSet.cuckooContains(col("cuckoo"), col("url")))
+    val misses = SeenSet.probeBloom(all, merged).filter(!col("seenish"))
+      .union(SeenSet.probeCuckoo(all, merged).filter(!col("seenish")))
       .count()
     assert(misses == 0)
   }
