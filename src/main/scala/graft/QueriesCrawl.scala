@@ -237,6 +237,59 @@ object QueriesCrawl {
       val e1 = postings.filter(col("epoch") === 1)
       Indexer.mergeShards(Seq(e0, e1))
         .select(col("term"), (col("doc_id") + col("epoch") * 1000000L).as("gid"), col("score"))
+    }),
+
+    // J4 + A6 + A7 + T3 + F10, reference-exact: the FULL Search.search path
+    // (integer IDFs, per-shard shift vectors, the u8 wrapping score fold,
+    // src/bin/query.rs:59-104) over a 3-epoch sharding of the driver corpus.
+    // The DuckDB twin unrolls the fold for the fixed 3-term query.
+    "q34_search_fold" -> ((s, d) => {
+      val postings = queries("q10_term_postings")(s, d)
+        .withColumn("epoch", (col("doc_id") % 3).cast("int"))
+        .select(col("epoch"), col("term"), col("doc_id"),
+          col("score").cast("int").as("score"))
+      val docmeta = queries("q11_docmeta")(s, d)
+        .withColumn("epoch", (col("doc_id") % 3).cast("int"))
+        .select(col("epoch"), col("doc_id"),
+          col("doc_id").cast("string").as("url"),
+          col("term_count").cast("int").as("term_count"))
+      Search.search(s, postings, docmeta, "hash row value",
+          topK = 20, termCountGate = 5)
+        .select(col("url"), col("score").cast("long").as("score"),
+          col("term_count").cast("long").as("term_count"))
+    }),
+
+    // The crawl superstep's SQL-expressible tail, composed through the REAL
+    // operators: admission (F1 suffix/scheme + F5 length + F4 trap) → L5
+    // cross-domain weighting → A1 insert-or-increment merge with pop
+    // markers and link counts — i.e. q33 minus RFC-3986 resolution (which
+    // stays ScalaTest-verified, UrlOpsSpec).
+    "q41_superstep_tail" -> ((s, d) => {
+      val u = urls(s, d)
+      val link1 = struct(urlExpr(col("doc_id") + 37).as("url"),
+        hostExpr(col("doc_id") + 37).as("host"))
+      val link2 = struct(urlExpr(col("doc_id") * 2 + 1).as("url"),
+        hostExpr(col("doc_id") * 2 + 1).as("host"))
+      val links = u.select(col("host").as("src_host"),
+          explode(array(link1, link2)).as("l"))
+        .select(col("src_host"), col("l.url").as("url"), col("l.host").as("host"))
+        .filter(!UrlOps.clearlyNotHtmlCol(col("url")) &&
+          UrlOps.urlLenOkCol(col("url"), 250) &&
+          !UrlOps.trapCol(col("url")))
+        .withColumn("weight",
+          when(UrlOps.domainRootCol(col("src_host")) =!=
+            UrlOps.domainRootCol(col("host")), 2L).otherwise(1L))
+        .select(col("url"), col("host"), col("weight"))
+      val frontier = u.select(col("url"), col("host"),
+        (col("doc_id") % 7 + 1).cast("long").as("priority"),
+        (col("doc_id") % 5 === 0).as("popped"))
+      val popMarkers = u.filter(col("doc_id") % 11 === 0).select("url", "host")
+      Frontier.merge(frontier, links, popMarkers, CrawlConfig())
+        .select(col("url"), col("host"), col("priority"),
+          col("popped").cast("long").as("popped"),
+          col("was_existing").cast("long").as("was_existing"),
+          col("was_incoming").cast("long").as("was_incoming"),
+          col("n_links"))
     }))
 
   // ---------------------------------------------------------------------
@@ -325,5 +378,49 @@ object QueriesCrawl {
 
     "q15_shard_merge" ->
       (s"WITH $sqlTermsCte " +
-        "SELECT term, CAST(doc_id + (doc_id % 2) * 1000000 AS BIGINT) AS gid, score FROM postings"))
+        "SELECT term, CAST(doc_id + (doc_id % 2) * 1000000 AS BIGINT) AS gid, score FROM postings"),
+
+    // Reference integer score math (src/bin/query.rs:59-104) with the u8
+    // wrapping fold unrolled for the fixed query terms [hash, row, value]
+    // (base = last term, then t=0 'hash', t=1 'row').
+    "q34_search_fold" ->
+      (s"WITH $sqlTermsCte, " +
+        "dm AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS epoch, CAST(length(bin(count(*))) - 1 AS BIGINT) AS term_count FROM terms GROUP BY doc_id HAVING count(*) >= 30), " +
+        "shard AS (SELECT epoch, CAST(count(*) AS BIGINT) AS shard_size FROM dm GROUP BY epoch), " +
+        "qp AS (SELECT CAST(doc_id % 3 AS BIGINT) AS epoch, doc_id, term, score FROM postings WHERE term IN ('hash','row','value')), " +
+        "stats AS (SELECT epoch, term, CAST(count(CASE WHEN score > 0 THEN 1 END) AS BIGINT) AS df, CAST(max(score) AS BIGINT) AS mx FROM qp GROUP BY epoch, term), " +
+        "prep AS (SELECT s.epoch, s.term, s.mx, CASE WHEN s.df * 65536 // sh.shard_size > 0 THEN CAST(1::BIGINT << CAST(length(bin(s.df * 65536 // sh.shard_size)) // 2 AS INT) AS BIGINT) ELSE CAST(1 AS BIGINT) END AS idf0 FROM stats s JOIN shard sh USING (epoch)), " +
+        "okep AS (SELECT epoch FROM prep GROUP BY epoch HAVING count(*) = 3), " +
+        "mini AS (SELECT epoch, min(idf0) AS min_idf FROM prep GROUP BY epoch), " +
+        "nidf AS (SELECT p.epoch, p.term, p.idf0 // m.min_idf AS idf, p.mx // (p.idf0 // m.min_idf) AS tm FROM prep p JOIN mini m USING (epoch) WHERE p.epoch IN (SELECT epoch FROM okep)), " +
+        "den AS (SELECT epoch, sum(tm) // 255 + 1 AS denom FROM nidf GROUP BY epoch), " +
+        "shv AS (SELECT n.epoch, n.term, length(bin(n.idf * d.denom)) - CASE WHEN ((n.idf * d.denom) & (n.idf * d.denom - 1)) = 0 THEN 1 ELSE 0 END AS shift FROM nidf n JOIN den d USING (epoch)), " +
+        "shp AS (SELECT epoch, max(CASE WHEN term = 'hash' THEN shift END) AS sh_hash, max(CASE WHEN term = 'row' THEN shift END) AS sh_row, max(CASE WHEN term = 'value' THEN shift END) AS sh_value FROM shv GROUP BY epoch), " +
+        "docs3 AS (SELECT epoch, doc_id, max(CASE WHEN term = 'hash' THEN score END) AS s_hash, max(CASE WHEN term = 'row' THEN score END) AS s_row, max(CASE WHEN term = 'value' THEN score END) AS s_value FROM qp GROUP BY epoch, doc_id HAVING count(DISTINCT term) = 3), " +
+        "vals AS (SELECT d.epoch, d.doc_id, (d.s_value >> p.sh_value) & 255 AS s0, (d.s_hash >> p.sh_hash) & 255 AS ph, (d.s_row >> p.sh_row) & 255 AS pr FROM docs3 d JOIN shp p USING (epoch)), " +
+        "scored AS (SELECT epoch, doc_id, CASE WHEN pr = 0 OR (CASE WHEN ph = 0 OR s0 = 0 THEN 0 ELSE (s0 + ph) & 255 END) = 0 THEN 0 ELSE ((CASE WHEN ph = 0 OR s0 = 0 THEN 0 ELSE (s0 + ph) & 255 END) + pr) & 255 END AS score FROM vals) " +
+        "SELECT CAST(s.doc_id AS VARCHAR) AS url, CAST(s.score AS BIGINT) AS score, d.term_count " +
+        "FROM scored s JOIN dm d ON s.epoch = d.epoch AND s.doc_id = d.doc_id " +
+        "WHERE s.score > 0 AND d.term_count >= 5 ORDER BY s.score DESC, s.doc_id ASC LIMIT 20"),
+
+    "q41_superstep_tail" -> {
+      val srcRoot = "CASE WHEN len(string_split(src_host,'.')) <= 2 THEN src_host ELSE (string_split(src_host,'.'))[-2] || '.' || (string_split(src_host,'.'))[-1] END"
+      val dstRoot = "CASE WHEN len(string_split(lhost,'.')) <= 2 THEN lhost ELSE (string_split(lhost,'.'))[-2] || '.' || (string_split(lhost,'.'))[-1] END"
+      (s"$sqlUrlsCte, links0 AS (" +
+        s"SELECT host AS src_host, ${sqlUrl("doc_id + 37")} AS url, ${sqlHost("doc_id + 37")} AS lhost FROM urls " +
+        s"UNION ALL SELECT host AS src_host, ${sqlUrl("doc_id * 2 + 1")} AS url, ${sqlHost("doc_id * 2 + 1")} AS lhost FROM urls), " +
+        s"adm0 AS (SELECT src_host, url, lhost FROM links0 WHERE NOT ($notHtmlOr OR NOT starts_with(url, 'http')) AND length(url) <= 250), " +
+        s"adm1 AS (SELECT src_host, url, lhost, string_split(substr($sqlCleanPath, 2), '/') AS sl FROM adm0), " +
+        s"adm AS (SELECT src_host, url, lhost, CAST(CASE WHEN $srcRoot <> $dstRoot THEN 2 ELSE 1 END AS BIGINT) AS weight FROM adm1 WHERE NOT (len(sl) - len(list_distinct(sl)) >= 2)), " +
+        "allrows AS (" +
+        "SELECT url, host, CAST(doc_id % 7 + 1 AS BIGINT) AS priority, (doc_id % 5 = 0) AS popped, 1 AS src_e, 0 AS src_i, 0 AS nl FROM urls " +
+        "UNION ALL SELECT url, lhost, weight, false, 0, 1, 1 FROM adm " +
+        "UNION ALL SELECT url, host, CAST(0 AS BIGINT), true, 0, 0, 0 FROM urls WHERE doc_id % 11 = 0) " +
+        "SELECT url, max(host) AS host, CAST(sum(priority) AS BIGINT) AS priority, " +
+        "CAST(max(CASE WHEN popped THEN 1 ELSE 0 END) AS BIGINT) AS popped, " +
+        "CAST(max(src_e) AS BIGINT) AS was_existing, " +
+        "CAST(max(src_i) AS BIGINT) AS was_incoming, " +
+        "CAST(sum(nl) AS BIGINT) AS n_links " +
+        "FROM allrows GROUP BY url")
+    })
 }

@@ -149,6 +149,14 @@ object QueriesData {
         .groupBy(col("event_type"), col("hour"))
         .agg(count(lit(1)).as("n"), sum(col("value_milli")).as("sum_milli"))),
 
+    // content-defined rolling-hash fingerprint (Karp-Rabin base-257 mod
+    // 2^31-1, winnowing min over 32-char windows). The DuckDB twin inlines
+    // the 32 precomputed power constants and evaluates each window's
+    // polynomial directly (mod of the full sum == incremental mod).
+    "q38_rolling_fingerprint" -> ((s, d) =>
+      tbl(s, d, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprintUdf(col("text"), 32).as("rfp"))),
+
     "q32_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -297,6 +305,16 @@ object QueriesData {
       ("SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, " +
         "CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_milli " +
         "FROM events GROUP BY 1, 2"),
+
+    "q38_rolling_fingerprint" -> {
+      val M = (1L << 31) - 1
+      val powers = Iterator.iterate(1L)(p => p * 257L % M).take(32).toSeq
+      ("WITH c AS (SELECT doc_id, text, length(text) AS n, LEAST(length(text), 32) AS kk FROM documents), " +
+        "win AS (SELECT doc_id, i, coalesce(list_sum(list_transform(generate_series(0, kk - 1), " +
+        s"j -> CAST(ord(substr(text, i + j, 1)) AS BIGINT) * ([${powers.mkString(",")}][kk - j]))), 0) % 2147483647 AS h " +
+        "FROM c, LATERAL unnest(generate_series(1, n - kk + 1)) t(i)) " +
+        "SELECT doc_id, CAST(min(h) AS BIGINT) AS rfp FROM win GROUP BY doc_id")
+    },
 
     "q32_sessionize" ->
       ("WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +

@@ -69,57 +69,54 @@ object Search {
   /** Top-k conjunctive query over (postings, docmeta).
     * `termCountGate` is the reference's `term_counts[id] >= 8`
     * (src/bin/query.rs:97) — parameterized because small test corpora have
-    * log2(doc length) < 8. */
+    * log2(doc length) < 8.
+    *
+    * Fully distributed: per-shard stats (A6 df + A7 max) and the per-shard
+    * shift vectors are TINY DataFrames (≤ |epochs|·|terms| rows) that
+    * broadcast-join back into the postings aggregate — no driver collect
+    * anywhere before the final top-k action, so the plan holds when epoch
+    * count reaches thousands. */
   def search(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
              query: String, topK: Int = 20, termCountGate: Int = 8): DataFrame = {
     val terms = splitQuery(query)
     require(terms.nonEmpty, "empty query")
-    val nTerms = terms.distinct.size
+    val termsD = terms.distinct
+    val nTerms = termsD.size
 
-    val qPostings = postings.filter(col("term").isin(terms.distinct: _*))
+    val qPostings = postings.filter(col("term").isin(termsD: _*))
 
-    // per-shard per-term stats (A6 df + A7 max) — tiny, collected
-    val shardSizes = docmeta.groupBy(col("epoch")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val stats = qPostings.groupBy(col("epoch"), col("term")).agg(
-      count(when(col("score") > 0, 1)).as("df"),
-      max(col("score")).cast("long").as("mx")).collect()
-      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
-
+    val shardSizes = docmeta.groupBy(col("epoch"))
+      .agg(count(lit(1)).as("shard_size"))
     // shards missing any query term are skipped entirely (AND semantics,
-    // src/bin/query.rs:163-170)
-    val shiftsByEpoch: Map[Int, Seq[Int]] = shardSizes.keys.flatMap { ep =>
-      val st = terms.map(t => stats.get((ep, t)))
-      if (st.exists(_.isEmpty)) None
-      else {
-        val dfs = st.map(_.get._1)
-        val maxs = st.map(_.get._2)
-        Some(ep -> ScoreMath.shifts(dfs, maxs, shardSizes(ep)))
-      }
-    }.toMap
-    if (shiftsByEpoch.isEmpty) {
-      return docmeta.select(col("url"), lit(0).as("score"),
-        col("term_count")).limit(0)
-    }
+    // src/bin/query.rs:163-170): the nt === nTerms filter + inner joins
+    // below drop them without any driver-side decision
+    val epochStats = qPostings.groupBy(col("epoch"), col("term")).agg(
+        count(when(col("score") > 0, 1)).as("df"),
+        max(col("score")).cast("long").as("mx"))
+      .groupBy(col("epoch")).agg(
+        map_from_entries(collect_list(struct(col("term"), col("df")))).as("dfs"),
+        map_from_entries(collect_list(struct(col("term"), col("mx")))).as("mxs"),
+        count(lit(1)).as("nt"))
+      .filter(col("nt") === nTerms)
+      .join(shardSizes, Seq("epoch"))
 
     val termsB = terms
-    val shiftsB = shiftsByEpoch
-    val foldUdf = udf((epoch: Int, m: Map[String, Int]) => {
-      shiftsB.get(epoch) match {
-        case None => 0
-        case Some(sh) =>
-          val scores = termsB.map(t => m.getOrElse(t, 0))
-          ScoreMath.fold(scores, sh)
-      }
-    })
+    val shiftsUdf = udf((dfs: Map[String, Long], mxs: Map[String, Long],
+        shardSize: Long) =>
+      ScoreMath.shifts(termsB.map(dfs), termsB.map(mxs), shardSize))
+    val epochShifts = epochStats.select(col("epoch"),
+      shiftsUdf(col("dfs"), col("mxs"), col("shard_size")).as("shifts"))
+
+    val foldUdf = udf((m: Map[String, Int], sh: Seq[Int]) =>
+      ScoreMath.fold(termsB.map(t => m.getOrElse(t, 0)), sh))
 
     val perDoc = qPostings
-      .filter(col("epoch").isin(shiftsByEpoch.keys.toSeq: _*))
       .groupBy(col("epoch"), col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("term"), col("score")))).as("m"),
         countDistinct(col("term")).as("nt"))
       .filter(col("nt") === nTerms) // conjunctive AND (J4)
-      .withColumn("score", foldUdf(col("epoch"), col("m")))
+      .join(broadcast(epochShifts), Seq("epoch")) // inner: skipped shards drop
+      .withColumn("score", foldUdf(col("m"), col("shifts")))
       .filter(col("score") > 0)
       .select("epoch", "doc_id", "score")
 

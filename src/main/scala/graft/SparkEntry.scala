@@ -9,12 +9,12 @@ import graft.ops.MultiModal
   * `queries` = one entry per implemented operator (SURVEY §2 + the
   * training-data pipeline ops); every SQL-expressible one has a DuckDB twin
   * in `oracleSql` (the driver's correctness gate). The remaining entries
-  * (full crawl superstep, reference score-fold search, sketch-filter
-  * membership, multimodal decode) are registered without oracle SQL —
-  * rows-only checks — because their semantics (Java URI resolution, cuckoo
-  * filters, the u8 wrapping fold) are not expressible in ANSI SQL; each is
-  * instead verified by ScalaTest against the sequential reference oracle
-  * (src/test/scala/graft/CrawlEngineSpec.scala).
+  * (full crawl superstep, sketch-filter membership, multimodal decode) are
+  * registered without oracle SQL — rows-only checks — because their
+  * semantics (Java URI resolution, cuckoo filters, the stub codec) are not
+  * expressible in ANSI SQL; each is instead verified by ScalaTest against
+  * the sequential reference oracle (CrawlEngineSpec), and the superstep's
+  * SQL-expressible tail is oracle-checked as q41_superstep_tail.
   */
 object SparkEntry {
 
@@ -42,17 +42,9 @@ object SparkEntry {
   /** Rows-only queries (no ANSI-SQL equivalent; see class doc). */
   private def rowsOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // full BSP superstep incl. RFC-3986 resolution + trap page-ANY gate
+    // (its SQL-expressible tail — admission → weight → merge — is
+    // oracle-checked as q41_superstep_tail)
     "q33_crawl_superstep" -> ((s, _) => crawlSuperstep(s, nDocs = 300)),
-
-    // reference integer score fold (J4/A6/A7/T3 exact semantics)
-    "q34_search_fold" -> ((s, _) => {
-      val cfg = CrawlConfig(minTokens = 50)
-      val docs = Corpus.documents(s, 42L, 300).toDF()
-      val ok = Fetcher.okHtml(docs.withColumnRenamed("doc_id", "url"))
-      val (postings, docmeta) = Indexer.index(ok, cfg, epoch = 0)
-      Search.search(s, postings, docmeta, "spark frontier crawl", topK = 20,
-        termCountGate = 0)
-    }),
 
     // partitioned bloom+cuckoo seen-set: fresh/seen split counts per bucket
     "q35_seen_filters" -> ((s, d) => {
@@ -80,12 +72,7 @@ object SparkEntry {
       val features = MultiModal.extractFeatures(s, assets).toDF()
       MultiModal.sampleFrames(features, everyN = 30)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
-    }),
-
-    // content-defined rolling-hash fingerprint (Karp-Rabin + winnowing min)
-    "q38_rolling_fingerprint" -> ((s, d) =>
-      s.read.parquet(s"$d/documents.parquet").select(col("doc_id"),
-        graft.ops.TextOps.rollingFingerprintUdf(col("text"), 32).as("rfp"))))
+    }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
