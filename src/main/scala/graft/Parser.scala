@@ -44,13 +44,20 @@ object Parser {
     * Duplicate URLs stay duplicated — each is one frontier increment.
     */
   def extractLinks(baseUrl: String, html: String, maxUrlLen: Int,
-                   crossDomainBonus: Long): Seq[(String, Long)] = {
+                   crossDomainBonus: Long,
+                   academicOnly: Boolean = false): Seq[(String, Long)] = {
     val baseHost = UrlOps.host(baseUrl).getOrElse(return Seq.empty)
     val baseRoot = UrlOps.domainRoot(baseHost)
-    val resolved = linkPat.findAllIn(html)
+    val resolvedAll = linkPat.findAllIn(html)
       .map(m => m.substring(6, m.length - 1))
       .flatMap(href => UrlOps.resolve(baseUrl, href))
       .toSeq
+    // F11 (config-off default): the reference's old gen filters to academic
+    // domains right at link collection, before anything else
+    // (src/main-old.rs:180)
+    val resolved =
+      if (academicOnly) resolvedAll.filter(u => UrlOps.host(u).exists(UrlOps.isAcademic))
+      else resolvedAll
     if (resolved.flatMap(UrlOps.looksLikeATrap).exists(identity)) return Seq.empty
     resolved
       .map { link =>
@@ -102,15 +109,17 @@ object Parser {
     * link extraction narrow (no shuffle until the frontier merge) — at 100 TB
     * that removes an entire shuffle stage of pre-admission links.
     */
-  private def linkUdf(maxUrlLen: Int, bonus: Long) =
+  private def linkUdf(maxUrlLen: Int, bonus: Long, academicOnly: Boolean) =
     udf((base: String, html: String) =>
-      extractLinks(base, html, maxUrlLen, bonus).map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) })
+      extractLinks(base, html, maxUrlLen, bonus, academicOnly)
+        .map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) })
 
   /** fetched docs (url, spans) → admitted links (url, host, weight). */
   def linksOf(fetched: DataFrame, cfg: CrawlConfig): DataFrame = {
     val withHtml = fetched.withColumn("html", htmlCol(col("spans")))
     withHtml
-      .select(explode(linkUdf(cfg.maxUrlLen, cfg.crossDomainBonus)(col("url"), col("html"))).as("l"))
+      .select(explode(linkUdf(cfg.maxUrlLen, cfg.crossDomainBonus,
+        cfg.academicOnly)(col("url"), col("html"))).as("l"))
       .select(col("l.url").as("url"), col("l.host").as("host"), col("l.weight").as("weight"))
   }
 

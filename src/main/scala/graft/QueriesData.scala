@@ -76,10 +76,12 @@ object QueriesData {
         .filter(col("n_shingles") > 0)
     }),
 
+    // df-capped: stop-shingles (df > 16) propose no candidate pairs, but
+    // verification runs over the full sets, so reported values stay exact
     "q22_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(
         Dedup.docShingles(tbl(s, d, "documents"), "doc_id", "text", 3),
-        minJaccardMicro = 10000L)),
+        minJaccardMicro = 10000L, maxShingleDf = 16L)),
 
     // ---- MinHash + LSH -----------------------------------------------
     "q23_minhash_sigs" -> ((s, d) =>
@@ -207,9 +209,14 @@ object QueriesData {
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct FROM s GROUP BY doc_id"),
 
     "q22_jaccard_pairs" ->
-      (s"WITH $sqlShinglesCte, sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id), " +
-        "inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter " +
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY a.id, b.id) " +
+      (s"WITH $sqlShinglesCte, " +
+        s"shh AS (SELECT DISTINCT id, ${sqlHash60("shingle")} AS h FROM sh), " +
+        "dfs AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM shh GROUP BY h), " +
+        "capped AS (SELECT shh.id, shh.h FROM shh JOIN dfs USING (h) WHERE dfs.df <= 16), " +
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM capped a JOIN capped b ON a.h = b.h AND a.id < b.id), " +
+        "sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY id), " +
+        "inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter " +
+        "FROM cand c JOIN shh a ON a.id = c.id_a JOIN shh b ON b.id = c.id_b AND b.h = a.h GROUP BY c.id_a, c.id_b) " +
         "SELECT id_a, id_b, inter, sa.n + sb.n - inter AS uni, " +
         "CAST(floor(inter * 1000000 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_micro " +
         "FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id " +
@@ -234,21 +241,26 @@ object QueriesData {
         "FROM toks, LATERAL unnest(generate_series(0, 31)) t(bit) GROUP BY id, bit) " +
         "SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash FROM bitsum GROUP BY id"),
 
+    // keeper = component MINIMUM over the verified-pair graph (recursive
+    // reachability — the twin of Dedup.connectedMinLabel's fixed point)
     "q39_near_dup_pipeline" ->
-      (s"WITH $sqlShinglesCte, sigs AS (" +
+      (s"WITH RECURSIVE $sqlShinglesCte, sigs AS (" +
         "SELECT id, seed, " + "min(((2*seed+1) * ((" + sqlHash60("shingle") + ") % 2147483647) + (seed * 1540483477) % 2147483647) % 2147483647) AS minhash " +
         "FROM sh, LATERAL unnest(generate_series(0, 7)) t(seed) GROUP BY id, seed), " +
         "banded AS (SELECT id, seed // 4 AS band, string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY seed) AS bandkey FROM sigs GROUP BY id, seed // 4), " +
         "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM banded a JOIN banded b ON a.band = b.band AND a.bandkey = b.bandkey AND a.id < b.id), " +
-        "sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY id), " +
+        s"shh AS (SELECT DISTINCT id, ${sqlHash60("shingle")} AS h FROM sh), " +
+        "sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shh GROUP BY id), " +
         "inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter FROM cand c " +
-        "JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle GROUP BY c.id_a, c.id_b), " +
+        "JOIN shh a ON a.id = c.id_a JOIN shh b ON b.id = c.id_b AND b.h = a.h GROUP BY c.id_a, c.id_b), " +
         "ver AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON inter.id_a = sa.id JOIN sizes sb ON inter.id_b = sb.id " +
         "WHERE CAST(floor(inter * 1000000 / (sa.n + sb.n - inter)) AS BIGINT) >= 10000), " +
-        "keep AS (SELECT id_b AS id, min(id_a) AS min_nbr FROM ver GROUP BY id_b) " +
-        "SELECT d.doc_id AS id, coalesce(k.min_nbr, d.doc_id) AS keeper_id, " +
-        "CAST(CASE WHEN coalesce(k.min_nbr, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
-        "FROM documents d LEFT JOIN keep k ON k.id = d.doc_id"),
+        "und AS (SELECT id_a AS src, id_b AS dst FROM ver UNION SELECT id_b, id_a FROM ver), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT u.dst, reach.r FROM reach JOIN und u ON u.src = reach.id) " +
+        "SELECT id, CAST(min(r) AS BIGINT) AS keeper_id, " +
+        "CAST(CASE WHEN min(r) <> id THEN 1 ELSE 0 END AS BIGINT) AS is_dup " +
+        "FROM reach GROUP BY id"),
 
     "q26_cosine_topk" ->
       ("WITH pairs AS (SELECT q.vec_id AS vec_id, c.vec_id AS nn_id, " +

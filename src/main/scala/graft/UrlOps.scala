@@ -96,6 +96,14 @@ object UrlOps {
   def isValidUri(url: String): Boolean =
     Try(new URI(url)).map(u => u.isAbsolute && u.getHost != null).getOrElse(false)
 
+  /** F11 academic-domain gate, config-off by default like the reference's
+    * current gen. The regex is the reference's ACADEMIC_RE verbatim
+    * (src/main-old.rs:65, applied to extracted links src/main-old.rs:180):
+    * it matches hosts ending '.edu', '.ac' or '.ac.' — NOT '.ac.uk', since
+    * the lazy-optional dot never extends the match past the anchor. */
+  val AcademicRe: scala.util.matching.Regex = "^.+\\.(edu|ac\\.??)$".r
+  def isAcademic(domain: String): Boolean = AcademicRe.matches(domain)
+
   // ---------------------------------------------------------------------------
   // Column builders (pure Catalyst where possible; UDFs only where java.net.URI
   // semantics are needed — SURVEY §2.10)

@@ -90,4 +90,5 @@ final case class CrawlConfig(
     nBuckets: Int = 64,             // frontier hash shards (src/config.rs:71 n_pqueues)
     saltBuckets: Int = 16,          // hot-host salting for the pop window
     maxBatches: Int = 1000,
-    indexWhileCrawling: Boolean = false)
+    indexWhileCrawling: Boolean = false,
+    academicOnly: Boolean = false)  // F11 gate (src/main-old.rs:180), off in current gen

@@ -47,19 +47,17 @@ object Dedup {
     df.select(col(idCol).as("id"),
         explode(array_distinct(TextOps.shingles(TextOps.words(col(textCol)), k))).as("shingle"))
 
-  /** Exact Jaccard over all pairs sharing ≥1 shingle.
-    * Output: (id_a, id_b, inter, uni, jaccard_micro) with id_a < id_b.
-    *
-    * Plan: shingle self-equi-join (shuffle on shingle — skew-prone on stop
-    * shingles, which is why minhashLsh is the at-scale candidate generator
-    * and this is the verifier over its survivors), then one groupBy(pair). */
-  def jaccardPairs(shingled: DataFrame, minJaccardMicro: Long): DataFrame = {
-    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingled.as("a")
-    val b = shingled.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+  /** (id, h): the doc's distinct shingle HASHES. All pairwise set math joins
+    * on the 8-byte hash, never the ~10-word shingle string — the shuffles
+    * carry fixed-width longs, and the distinct's exchange is reused by every
+    * consumer (sizes, both join sides), so the shingle explode runs once.
+    * The distinct AFTER hashing keeps Spark and the DuckDB oracle identical
+    * even in the (astronomically unlikely) event of a 60-bit collision. */
+  def hashedShingles(shingled: DataFrame): DataFrame =
+    shingled.select(col("id"), TextOps.hash60(col("shingle")).as("h")).distinct()
+
+  private def jaccardTail(inter: DataFrame, sizes: DataFrame,
+                          minJaccardMicro: Long): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
@@ -67,6 +65,41 @@ object Dedup {
       .withColumn("jaccard_micro", floor(col("inter") * 1000000L / col("uni")).cast("long"))
       .filter(col("jaccard_micro") >= minJaccardMicro)
       .select("id_a", "id_b", "inter", "uni", "jaccard_micro")
+
+  /** Exact Jaccard over pairs sharing ≥1 (df-capped) shingle.
+    * Output: (id_a, id_b, inter, uni, jaccard_micro) with id_a < id_b.
+    *
+    * `maxShingleDf` bounds the self-join's skew: shingles occurring in more
+    * than that many docs (stop-shingles — a hot shingle's full pair-cross
+    * lands in ONE task otherwise) are dropped from the CANDIDATE join only;
+    * verification always runs over the full shingle sets, so every reported
+    * Jaccard value is exact. Pairs sharing nothing but stop-shingles are the
+    * only recall loss — standard practice (cf. df-capped posting lists).
+    * With the default (no cap) the single-pass join/aggregate shape is kept. */
+  def jaccardPairs(shingled: DataFrame, minJaccardMicro: Long,
+                   maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val hashed = hashedShingles(shingled)
+    val sizes = hashed.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    if (maxShingleDf == Long.MaxValue) {
+      val a = hashed.as("a")
+      val b = hashed.as("b")
+      val inter = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardTail(inter, sizes, minJaccardMicro)
+    } else {
+      val dfs = hashed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val capped = hashed.join(dfs.filter(col("df") <= maxShingleDf).select("h"), "h")
+      val a = capped.as("a")
+      val b = capped.as("b")
+      val cand = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val av = hashed.select(col("id").as("id_a"), col("h"))
+      val bv = hashed.select(col("id").as("id_b"), col("h"))
+      val inter = cand.join(av, "id_a").join(bv, Seq("id_b", "h"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      jaccardTail(inter, sizes, minJaccardMicro)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -131,28 +164,63 @@ object Dedup {
 
   /** Exact Jaccard verification restricted to a candidate-pair set: the
     * at-scale shape (LSH proposes, exact verifies) — the shingle join runs
-    * per candidate pair, never all-pairs. */
+    * per candidate pair, never all-pairs, and on 8-byte shingle hashes,
+    * never strings. */
   def verifiedNearDups(shingled: DataFrame, candidates: DataFrame,
                        minJaccardMicro: Long): DataFrame = {
-    val sizes = shingled.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val a = shingled.select(col("id").as("id_a"), col("shingle"))
-    val b = shingled.select(col("id").as("id_b"), col("shingle"))
-    val inter = candidates.join(a, "id_a").join(b, Seq("id_b", "shingle"))
+    val hashed = hashedShingles(shingled)
+    val sizes = hashed.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = hashed.select(col("id").as("id_a"), col("h"))
+    val b = hashed.select(col("id").as("id_b"), col("h"))
+    val inter = candidates.join(a, "id_a").join(b, Seq("id_b", "h"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard_micro", floor(col("inter") * 1000000L / col("uni")).cast("long"))
-      .filter(col("jaccard_micro") >= minJaccardMicro)
+    jaccardTail(inter, sizes, minJaccardMicro)
       .select("id_a", "id_b", "jaccard_micro")
+  }
+
+  /** Per-component minimum label over an undirected edge set: (id, label)
+    * where label = min id reachable from id. Min-label propagation with
+    * pointer jumping (label ← label's label) each round, so convergence is
+    * O(log diameter) supersteps, not O(diameter) — the standard distributed
+    * connected-components shape. Each round is two joins + an aggregate
+    * over the (tiny, post-verification) edge set. */
+  def connectedMinLabel(ids: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b"), col("id_a"))).distinct()
+    var labels = ids.select(col("id"), col("id").as("label")).persist()
+    labels.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      val viaEdge = und.join(labels, und("src") === labels("id"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("elabel"))
+      val viaJump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("jlabel"))
+      val next = labels
+        .join(viaEdge, Seq("id"), "left")
+        .join(viaJump, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"),
+            coalesce(col("elabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("label"))
+        .persist()
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      val prev = labels
+      labels = next.select("id", "label").persist()
+      labels.count()
+      prev.unpersist(); next.unpersist()
+      rounds += 1
+    }
+    labels
   }
 
   /** The composed near-dedup pipeline a training-data curator runs:
     * shingle → MinHash signatures → LSH candidate pairs → exact-Jaccard
-    * verification → per-doc keeper assignment (keeper = min verified
-    * neighbor id; since candidate pairs are oriented id_a < id_b, one hop
-    * reaches each cluster's minimum for the dominant pairwise-dup case).
+    * verification → per-doc keeper assignment. keeper_id is the MINIMUM id
+    * of the doc's verified-duplicate connected component ([[connectedMinLabel]]),
+    * so even non-transitive clusters (pairs (1,2),(2,3) verified without
+    * (1,3)) resolve every duplicate to a retained (is_dup=0) document.
     * Output: (id, keeper_id, is_dup). */
   def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, hashes: Int, bands: Int,
@@ -160,10 +228,10 @@ object Dedup {
     val sh = docShingles(df, idCol, textCol, shingleK)
     val cand = lshCandidates(minhashSignatures(sh, hashes), hashes, bands)
     val dups = verifiedNearDups(sh, cand, minJaccardMicro)
+    val comp = connectedMinLabel(df.select(col(idCol).as("id")), dups)
     df.select(col(idCol).as("id"))
-      .join(dups.groupBy(col("id_b").as("id")).agg(min(col("id_a")).as("min_nbr")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("min_nbr"), col("id")).as("keeper_id"))
+      .join(comp, Seq("id"))
+      .select(col("id"), col("label").as("keeper_id"))
       .withColumn("is_dup", (col("id") =!= col("keeper_id")).cast("long"))
   }
 

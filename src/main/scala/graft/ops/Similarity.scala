@@ -77,15 +77,41 @@ object Similarity {
     byPlane.groupBy(col("vec_id")).agg(sum(col("bitval")).as("bucket"))
   }
 
+  /** All intra-bucket ordered pairs with BOUNDED task input — the guard
+    * against a pathological LSH bucket (a pile of near-identical vectors
+    * hashes into one bucket, whose full pair-cross would otherwise land in
+    * one join task). Buckets over `cap` rows split into s = ceil(pop/cap)
+    * salted subgroups; side A replicates each row to keys (g_a, j) for all
+    * j, side B to (i, g_b), and the equi-join on (bucket, key1, key2)
+    * matches every pair EXACTLY once — per-task input ≤ ~2·cap rows, output
+    * ≤ cap². Exactness preserved; the s-fold replication is paid only by
+    * oversized buckets (s = 1 elsewhere, zero overhead).
+    * Output: (bucket, qid, qe, cid, ce) for all qid ≠ cid pairs. */
+  private def boundedBucketPairs(withBucket: DataFrame, cap: Int): DataFrame = {
+    val pops = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
+    val withS = withBucket.join(pops, "bucket")
+      .withColumn("s", ceil(col("pop").cast("double") / cap).cast("int"))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), col("s")).cast("int"))
+    val aSide = withS.select(col("bucket"), col("g").as("k1"),
+      explode(sequence(lit(0), col("s") - 1)).as("k2"),
+      col("vec_id").as("qid"), col("embedding").as("qe"))
+    val bSide = withS.select(col("bucket"),
+      explode(sequence(lit(0), col("s") - 1)).as("k1"), col("g").as("k2"),
+      col("vec_id").as("cid"), col("embedding").as("ce"))
+    aSide.join(bSide, Seq("bucket", "k1", "k2"))
+      .filter(col("qid") =!= col("cid"))
+      .drop("k1", "k2")
+  }
+
   /** Bucketed ANN: exact cosine top-k but only within each LSH bucket.
     * Output: (vec_id, nn_id, rank, sim). The pairwise join is per-bucket —
     * with p planes, expected bucket population is n/2^p, so the quadratic
-    * term collapses by 4^p/… versus brute force. */
-  def lshTopK(vectors: DataFrame, planes: Int, k: Int): DataFrame = {
+    * term collapses by 4^p/… versus brute force; `bucketCap` bounds the
+    * degenerate-bucket case (see [[boundedBucketPairs]]). */
+  def lshTopK(vectors: DataFrame, planes: Int, k: Int,
+              bucketCap: Int = 4096): DataFrame = {
     val withBucket = vectors.join(lshBuckets(vectors, planes), "vec_id")
-    val a = withBucket.select(col("bucket"), col("vec_id").as("qid"), col("embedding").as("qe"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("cid"), col("embedding").as("ce"))
-    a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid"))
+    boundedBucketPairs(withBucket, bucketCap)
       .withColumn("sim", cosine(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
@@ -95,14 +121,16 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
-    * sim ≥ threshold, id_a < id_b — brute within LSH buckets. */
-  def embeddingNearDups(vectors: DataFrame, planes: Int, simThreshold: Double): DataFrame = {
+    * sim ≥ threshold, id_a < id_b — brute within LSH buckets, degenerate
+    * buckets bounded by `bucketCap`. */
+  def embeddingNearDups(vectors: DataFrame, planes: Int, simThreshold: Double,
+                        bucketCap: Int = 4096): DataFrame = {
     val withBucket = vectors.join(lshBuckets(vectors, planes), "vec_id")
-    val a = withBucket.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("ea"), col("eb")))
+    boundedBucketPairs(withBucket, bucketCap)
+      .filter(col("qid") < col("cid"))
+      .withColumn("sim", cosine(col("qe"), col("ce")))
       .filter(col("sim") >= simThreshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .select(col("qid").as("id_a"), col("cid").as("id_b"),
+        round(col("sim"), 4).as("sim"))
   }
 }

@@ -62,6 +62,54 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))   // no shared shingle
   }
 
+  test("jaccard df-cap: stop-shingle-only pairs dropped, surviving values exact") {
+    // 6 docs share the stop-shingle 'aaa bbb ccc' (df=6); docs 0,1 also
+    // share a low-df run. With maxShingleDf=3 only (0,1) survives as a
+    // candidate — and its Jaccard is computed over the FULL sets.
+    val capDocs = (Seq(
+      (0L, "aaa bbb ccc xxx yyy zzz p0 q0 r0"),
+      (1L, "aaa bbb ccc xxx yyy zzz p1 q1 r1")) ++
+      (2L to 5L).map(i => (i, s"aaa bbb ccc m$i n$i o$i")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.docShingles(capDocs, "doc_id", "text", 3)
+    val capped = Dedup.jaccardPairs(sh, minJaccardMicro = 0L, maxShingleDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val uncapped = Dedup.jaccardPairs(sh, minJaccardMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(uncapped.contains((2L, 3L))) // shares only the stop-shingle
+    assert(!capped.contains((2L, 3L))) // ...dropped from candidates
+    assert(capped.keySet == Set((0L, 1L)))
+    assert(capped((0L, 1L)) == uncapped((0L, 1L)), "survivor value must be full-set exact")
+  }
+
+  test("connected min-label: chains and stars resolve to the component minimum") {
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedMinLabel(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("LSH bucket cap: degenerate bucket split preserves exact results") {
+    // 30 identical vectors pile into one bucket; cap 8 forces the salted
+    // subgroup split — results must equal the unbounded join exactly
+    val vecs = ((0L until 30L).map(i => (i, Array(1f, 0.5f, 0.25f, 0f))) ++
+      (30L until 40L).map(i => (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat))))
+      .toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val bounded = Similarity.lshTopK(vecs, planes = 3, k = 5, bucketCap = 8)
+      .collect().map(key).toSet
+    val unbounded = Similarity.lshTopK(vecs, planes = 3, k = 5, bucketCap = 1 << 20)
+      .collect().map(key).toSet
+    assert(bounded == unbounded)
+    val nd = Similarity.embeddingNearDups(vecs, planes = 3, simThreshold = 0.9, bucketCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ndU = Similarity.embeddingNearDups(vecs, planes = 3, simThreshold = 0.9, bucketCap = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == ndU && nd.nonEmpty)
+  }
+
   test("minhash: signature value == naive min over shingle hashes; LSH finds the exact dup") {
     val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
     val sigs = Dedup.minhashSignatures(sh, k = 4)

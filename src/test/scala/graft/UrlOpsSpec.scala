@@ -131,4 +131,21 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(shiftOf(5) == 3)
     assert(shiftOf(8) == 3)
   }
+
+  test("F11 academic gate — reference ACADEMIC_RE semantics (src/main-old.rs:65,180)") {
+    assert(UrlOps.isAcademic("cs.stanford.edu"))
+    assert(UrlOps.isAcademic("u.ac"))
+    assert(UrlOps.isAcademic("weird.ac."))
+    assert(!UrlOps.isAcademic("ox.ac.uk")) // the reference regex does NOT match ccTLD .ac.uk
+    assert(!UrlOps.isAcademic("site0.example.com"))
+    assert(!UrlOps.isAcademic("edu"))
+    // config-off default keeps everything; on -> only academic hosts survive
+    val html = "<a href='https://cs.mit.edu/a'>x</a><a href='https://h1.example/b'>y</a>"
+    val base = "https://src.example/p"
+    val all = Parser.extractLinks(base, html, 250, 2L)
+    assert(all.map(_._1).toSet ==
+      Set("https://cs.mit.edu/a", "https://h1.example/b"))
+    val acad = Parser.extractLinks(base, html, 250, 2L, academicOnly = true)
+    assert(acad.map(_._1) == Seq("https://cs.mit.edu/a"))
+  }
 }
