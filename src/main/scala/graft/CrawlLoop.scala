@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The crawl as deterministic BSP supersteps (replacing the reference's
@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   *   bloom split (definitely-fresh links skip the frontier join) →
   *   frontier merge over the CHANGED-bucket slice only →
   *   delta snapshot commit (+ metrics, per-bucket lineage) →
-  *   seen-filter update
+  *   seen-filter delta append
   *
   * Terminates when a pop batch comes back empty (ST4's analog) or after
   * cfg.maxBatches. Each superstep's frontier is re-read from its committed
@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * Scale shape per superstep (the 10^10-row frontier budget):
   *  - the pop is partition-parallel (no global sort, Frontier.popBatch);
   *  - links probe the per-bucket Bloom filters as a NARROW map
-  *    (SeenSet.probeBloom — one deserialize per partition-bucket, the
+  *    (SeenSet.probeBloomMap — one deserialize per partition-bucket, the
   *    reference's seen-check at src/main-old.rs:190-196): definitely-fresh
   *    links never join the frontier at all;
   *  - the merge joins only the buckets links/pops actually touched
@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   *    snapshot IO is O(delta), the dirty-page analog of
   *    src/pqueuethread.rs:58-87. Unchanged buckets carry forward by
   *    reference in the manifest's bucketPaths.
+  *
+  * Serial-cost discipline (what loop scaling efficiency measures): FOUR
+  * Spark actions per steady-state superstep — pop write, parse/link
+  * materialization, merged-slice metrics, snapshot write (+ the tiny filter
+  * delta build). Everything else piggybacks: popped/allowed/fetch counts
+  * ride those actions as observe() metrics, the seen-filters live in a
+  * driver map (the reference holds them in RAM too, src/main-old.rs:57)
+  * updated from each batch's delta, and filter parquet is written for
+  * durability but never re-read on the hot path.
   */
 object CrawlLoop {
 
@@ -36,8 +45,41 @@ object CrawlLoop {
     def totalLinks: Long = batches.map(_.linksAdmitted).sum
   }
 
+  /** Fold filter deltas into one dir after this many supersteps. */
+  val CompactEvery = 8
+
+  private val phaseTiming = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
+  @inline private def timed[T](tag: String, batch: Int)(f: => T): T =
+    if (!phaseTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[phase] b$batch%-3d $tag%-12s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      r
+    }
+
   private def filterCapacity(cfg: CrawlConfig): Long =
     math.max(1024L, 4L * cfg.batchSize / cfg.nBuckets)
+
+  private def collectShards(filters: DataFrame): Array[FilterShard] =
+    filters.collect().map(r =>
+      FilterShard(r.getInt(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
+
+  private def writeShards(spark: SparkSession, shards: Array[FilterShard],
+                          path: String): Unit = {
+    import spark.implicits._
+    shards.toSeq.toDS().toDF()
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  private def bloomMapOf(shards: Array[FilterShard]): SeenSet.FilterMap =
+    shards.groupBy(_.bucket).map { case (b, xs) => b -> xs.map(_.bloom).toSeq }
+
+  private def appendBloom(m: SeenSet.FilterMap,
+                          shards: Array[FilterShard]): SeenSet.FilterMap =
+    shards.foldLeft(m) { (acc, s) =>
+      acc + (s.bucket -> (acc.getOrElse(s.bucket, Seq.empty) :+ s.bloom))
+    }
 
   /** Run (or resume) a crawl. `documents`/`robots` are the corpus tables;
     * `seeds` only seeds batch 0 of a fresh run. */
@@ -57,9 +99,10 @@ object CrawlLoop {
     val metricsOut = Seq.newBuilder[BatchMetrics]
     var batch = 0
     var pendingPop: Option[DataFrame] = None
-    var filtersPath: String = ""
+    var filtersPaths: Seq[String] = Seq.empty
     var bucketPaths: Map[String, String] = Map.empty
     var perBucket: Map[String, Long] = Map.empty
+    var bloomMap: SeenSet.FilterMap = Map.empty
 
     // one row per host, whatever the input shape: a (malformed) multi-row
     // host must neither inflate counts nor duplicate rows through the gate
@@ -74,7 +117,7 @@ object CrawlLoop {
         metricsOut ++= readMetrics(spark, stateDir)
         bucketPaths = m.bucketPaths
         perBucket = m.perBucketRows
-        filtersPath = m.filtersPath
+        filtersPaths = m.filtersPaths
         if (m.phase == "pop") {
           batch = m.batch
           pendingPop = Some(spark.read.parquet(m.popBatchPath))
@@ -91,69 +134,73 @@ object CrawlLoop {
     }
 
     var frontier = readFrontier(spark, bucketPaths)
-    if (maintainFilters && filtersPath.isEmpty) {
-      // Bootstrap the seen filters from the CURRENT frontier (fresh run:
-      // the seeds; resume of a filter-less state dir: everything). The
-      // filters' membership invariant is "every url ever inserted into the
-      // frontier" — the Bloom split relies on it: a url missing from the
-      // filters is treated as definitely-fresh and would be duplicated.
-      val p0 = Snapshots.filtersPath(stateDir, batch - 1)
-      SeenSet.buildFilters(frontier.select("url", "bucket"),
-          expectedPerBucket = filterCapacity(cfg))
-        .write.mode(SaveMode.Overwrite).parquet(p0)
-      filtersPath = p0
+    if (maintainFilters) {
+      if (filtersPaths.isEmpty) {
+        // Bootstrap the seen filters from the CURRENT frontier (fresh run:
+        // the seeds; resume of a filter-less state dir: everything). The
+        // filters' membership invariant is "every url ever inserted into the
+        // frontier" — the Bloom split relies on it: a url missing from the
+        // filters is treated as definitely-fresh and would be duplicated.
+        val p0 = Snapshots.filtersPath(stateDir, batch - 1)
+        val shards = collectShards(SeenSet.buildFilters(
+          frontier.select("url", "bucket"),
+          expectedPerBucket = filterCapacity(cfg)))
+        writeShards(spark, shards, p0)
+        filtersPaths = Seq(p0)
+        bloomMap = bloomMapOf(shards)
+      } else {
+        // one read at resume, then the map lives in the driver
+        bloomMap = SeenSet.collectFilterMap(
+          spark.read.parquet(filtersPaths: _*), "bloom")
+      }
     }
+
     var done = false
     while (!done && batch < cfg.maxBatches) {
       val tb = System.nanoTime()
 
       // ---- phase 1: pop + commit (politeness window boundary) ----
-      val pop = pendingPop match {
-        case Some(p) => p
-        case None =>
-          val p = Frontier.popBatch(frontier, cfg)
-          p.write.mode(SaveMode.Overwrite).parquet(popBatchPath(stateDir, batch))
+      // popped + pop-touched buckets ride the write action as observed
+      // metrics — no separate stats job.
+      val (pop, popped, popBuckets) = pendingPop match {
+        case Some(p) =>
+          val st = p.agg(count(lit(1)), collect_set(col("bucket"))).first()
+          (p, st.getLong(0), st.getSeq[Int](1))
+        case None => timed("pop", batch) {
+          val obs = Observation()
+          Frontier.popBatch(frontier, cfg)
+            .observe(obs, count(lit(1)).as("popped"),
+              collect_set(col("bucket")).as("buckets"))
+            .write.mode(SaveMode.Overwrite).parquet(popBatchPath(stateDir, batch))
           val committed = spark.read.parquet(popBatchPath(stateDir, batch))
           Snapshots.commit(stateDir, Manifest(
             batch, "pop",
             frontierPath = "",
             popBatchPath = popBatchPath(stateDir, batch),
-            filtersPath = filtersPath, bucketPaths = bucketPaths,
+            filtersPaths = filtersPaths, bucketPaths = bucketPaths,
             perBucketRows = perBucket,
             metrics = None, seed = seed, nDocs = nDocs))
-          committed
+          val m = obs.get
+          (committed, m("popped").asInstanceOf[Long],
+            m("buckets").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Number].intValue))
+        }
       }
       pendingPop = None
-      // popped + robots-allowed + pop-touched buckets in ONE job over the
-      // (tiny, ≤ nBuckets·ceil(batchSize/nBuckets)-row) committed pop batch.
-      val popStats = pop.persist()
-        .join(broadcast(robotsNorm), Seq("host"), "left")
-        .withColumn("path", Robots.pathCol(col("url")))
-        .agg(count(lit(1)).as("popped"),
-          count(when(col("disallow").isNull ||
-            !exists(col("disallow"), p => col("path").startsWith(p)), 1)).as("allowed"),
-          collect_set(col("bucket")).as("buckets"))
-        .first()
-      val popped = popStats.getLong(0)
-      val allowedCount = popStats.getLong(1)
-      val popBuckets = popStats.getSeq[Int](2)
       if (popped == 0) { done = true }
       else {
         // ---- phase 2: robots gate → fetch → parse ----
-        // One corpus scan per superstep: the fetch join materializes once
-        // (pop-batch-bounded rows), and matched/fetched stats + the ok-HTML
-        // subset all come from that cache instead of re-scanning the corpus.
-        val allowed = Robots.allowedBatch(pop, robotsNorm)
-        val fetchedAll = Fetcher.fetch(allowed, documents).persist()
-        val fetchStats = fetchedAll.agg(
-          count(lit(1)).as("matched"),
-          count(when(col("status") >= 200 && col("status") < 300 &&
-            col("content_type").startsWith("text/html"), 1)).as("fetched")).first()
-        val matched = fetchStats.getLong(0)
-        val fetched = fetchStats.getLong(1)
+        // One corpus scan per superstep; allowed/matched/fetched counts ride
+        // the downstream parse action as observe() metrics.
+        val obsAllowed = Observation()
+        val obsFetch = Observation()
+        val allowed = Robots.allowedBatch(pop.persist(), robotsNorm)
+          .observe(obsAllowed, count(lit(1)).as("allowed"))
+        val fetchedAll = Fetcher.fetch(allowed, documents)
+          .observe(obsFetch, count(lit(1)).as("matched"),
+            count(when(col("status") >= 200 && col("status") < 300 &&
+              col("content_type").startsWith("text/html"), 1)).as("fetched"))
+          .persist()
         val ok = Fetcher.okHtml(fetchedAll)
-        val robotsDenied = popped - allowedCount
-        val fetchErrors = allowedCount - matched
 
         // optional live indexing (reference indexes while crawling,
         // src/main.rs:256-280): each superstep is one index epoch, written
@@ -167,8 +214,15 @@ object CrawlLoop {
         val links = Parser.linksOf(ok, cfg)
           .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
           .persist()
-        val linkBuckets = links.select(col("bucket")).distinct()
-          .collect().map(_.getInt(0))
+        val linkBuckets = timed("parse", batch) {
+          links.select(col("bucket")).distinct().collect().map(_.getInt(0))
+        }
+        val allowedCount = obsAllowed.get("allowed").asInstanceOf[Long]
+        val fetchM = obsFetch.get
+        val matched = fetchM("matched").asInstanceOf[Long]
+        val fetched = fetchM("fetched").asInstanceOf[Long]
+        val robotsDenied = popped - allowedCount
+        val fetchErrors = allowedCount - matched
 
         // ---- phase 3: delta merge over the changed-bucket slice ----
         // Only buckets a link landed in or a pop touched can change; the
@@ -176,13 +230,12 @@ object CrawlLoop {
         val changed = (linkBuckets ++ popBuckets).distinct.toSeq
         val frontierSlice = frontier.filter(col("bucket").isin(changed: _*))
 
-        val merged = (if (maintainFilters && filtersPath.nonEmpty) {
+        val merged = (if (maintainFilters) {
           // Bloom split (no false negatives): definitely-fresh links become
           // new frontier rows directly — they cannot be in the frontier, so
           // they skip the outer join; probably-seen links (incl. Bloom false
           // positives) go through the exact merge and resolve correctly.
-          val filters = spark.read.parquet(filtersPath)
-          val (seenish, fresh) = SeenSet.splitByBloom(links, filters)
+          val (seenish, fresh) = SeenSet.splitByBloomMap(links, bloomMap)
           val mergedSeen = Frontier.merge(frontierSlice, seenish, pop, cfg)
           val freshRows = fresh.groupBy(col("url"))
             .agg(sum(col("weight")).cast("long").as("priority"),
@@ -200,13 +253,13 @@ object CrawlLoop {
         // per-bucket lineage + all link/dup metrics from ONE pass over the
         // merged slice (n_links carries the raw link count — no separate
         // count job over the link stream)
-        val byBucket = merged.groupBy(col("bucket")).agg(
+        val byBucket = timed("merge", batch) { merged.groupBy(col("bucket")).agg(
           count(lit(1)).as("rows"),
           sum(when(col("was_existing") === 1 && col("was_incoming") === 1, 1L)
             .otherwise(0L)).as("dups"),
           sum(when(col("was_existing") === 0 && col("was_incoming") === 1, 1L)
             .otherwise(0L)).as("fresh"),
-          sum(col("n_links")).as("nlinks")).collect()
+          sum(col("n_links")).as("nlinks")).collect() }
         val duplicateHits = byBucket.map(_.getLong(2)).sum
         val freshUrls = byBucket.map(_.getLong(3)).sum
         val linksAdmitted = byBucket.map(_.getLong(4)).sum
@@ -218,25 +271,38 @@ object CrawlLoop {
         // bucket lands in exactly one file; unchanged buckets keep their
         // previous dirs by reference in bucketPaths.
         val fPath = frontierPath(stateDir, batch)
-        merged.select("url", "host", "bucket", "priority", "popped")
-          .repartition(col("bucket"))
-          .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(fPath)
+        timed("snapshot", batch) {
+          merged.select("url", "host", "bucket", "priority", "popped")
+            .repartition(col("bucket"))
+            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(fPath)
+        }
         bucketPaths = bucketPaths ++
           byBucket.map(r => r.getInt(0).toString -> fPath).toMap
 
-        // ---- phase 4: incremental seen-filter update (bloom + cuckoo) ----
-        if (maintainFilters) {
+        // ---- phase 4: seen-filter DELTA (bloom + cuckoo) ----
+        // Append-only: build filters for just THIS batch's fresh urls, fold
+        // them into the driver map, and write the delta for durability —
+        // the steady state never re-reads or re-merges the accumulated
+        // filters. Every CompactEvery supersteps the deltas fold into one
+        // dir (and one filter per bucket in the map).
+        if (maintainFilters) timed("filters", batch) {
           val newFiltersPath = Snapshots.filtersPath(stateDir, batch)
           val freshUrlsDf = merged
             .filter(col("was_existing") === 0)
             .select(col("url"), col("bucket"))
-          val built = SeenSet.buildFilters(freshUrlsDf,
-            expectedPerBucket = filterCapacity(cfg))
-          val updated =
-            if (filtersPath.isEmpty) built
-            else SeenSet.mergeFilterTables(spark.read.parquet(filtersPath), built)
-          updated.write.mode(SaveMode.Overwrite).parquet(newFiltersPath)
-          filtersPath = newFiltersPath
+          val shards = collectShards(SeenSet.buildFilters(freshUrlsDf,
+            expectedPerBucket = filterCapacity(cfg)))
+          writeShards(spark, shards, newFiltersPath)
+          filtersPaths = filtersPaths :+ newFiltersPath
+          bloomMap = appendBloom(bloomMap, shards)
+          if (filtersPaths.size > CompactEvery) {
+            val compacted = newFiltersPath + "-compacted"
+            val cShards = collectShards(
+              SeenSet.compactFilters(spark.read.parquet(filtersPaths: _*)))
+            writeShards(spark, cShards, compacted)
+            filtersPaths = Seq(compacted)
+            bloomMap = bloomMapOf(cShards)
+          }
         }
 
         val m = BatchMetrics(
@@ -251,7 +317,7 @@ object CrawlLoop {
         Snapshots.commit(stateDir, Manifest(
           batch, "done", frontierPath = fPath,
           popBatchPath = popBatchPath(stateDir, batch),
-          filtersPath = filtersPath, bucketPaths = bucketPaths,
+          filtersPaths = filtersPaths, bucketPaths = bucketPaths,
           perBucketRows = perBucket, metrics = Some(m),
           seed = seed, nDocs = nDocs))
 

@@ -76,11 +76,14 @@ object Frontier {
         max(col("host")).as("l_host"),
         count(lit(1)).as("l_n"))
       .withColumn("src_incoming", lit(1))
+    // no forced broadcast: a politeness window can be hundreds of thousands
+    // of urls, and building that relation is driver-serial — size-based
+    // join selection (AQE) broadcasts it only when actually small
     val popMarkers = poppedUrls.select(col("url")).distinct()
       .withColumn("mark_popped", lit(true))
     existing
       .join(incoming, Seq("url"), "full")
-      .join(broadcast(popMarkers), Seq("url"), "left")
+      .join(popMarkers, Seq("url"), "left")
       .select(
         col("url"),
         coalesce(col("f_host"), col("l_host")).as("host"),

@@ -66,13 +66,15 @@ object QueriesData {
 
     // ---- n-gram Jaccard ----------------------------------------------
     "q21_shingle_stats" -> ((s, d) => {
-      // n_shingles needs no shingle array at all (= n_words - k + 1);
-      // only the distinct count materializes shingle strings — one pass
-      val w = TextOps.words(col("text"))
+      // n_shingles needs no shingle array at all (= n_words - k + 1); only
+      // the distinct count materializes shingle strings — one pass. Words
+      // bind to their own projection first (see Dedup.docShingles: inlining
+      // the split into the shingle lambda re-splits per element).
       tbl(s, d, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("__ws"))
         .select(col("doc_id"),
-          greatest(size(w) - 2, lit(0)).cast("long").as("n_shingles"),
-          size(array_distinct(TextOps.shingles(w, 3))).cast("long").as("n_distinct"))
+          greatest(size(col("__ws")) - 2, lit(0)).cast("long").as("n_shingles"),
+          size(array_distinct(TextOps.shingles(col("__ws"), 3))).cast("long").as("n_distinct"))
         .filter(col("n_shingles") > 0)
     }),
 
@@ -121,6 +123,15 @@ object QueriesData {
 
     "q29_embed_near_dups" -> ((s, d) =>
       Similarity.embeddingNearDups(tbl(s, d, "embeddings"), planes = 4, simThreshold = 0.30)),
+
+    // IVF-flat ANN: seeded 16-cell codebook, 4-probe queries
+    "q42_ivf_ann_topk" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 40), e,
+          kCells = 16, nprobe = 4, k = 3)
+        .select(col("vec_id"), col("nn_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
 
     // ---- multimodal plumbing ----------------------------------------
     "q30_media_meta" -> ((s, d) =>
@@ -300,6 +311,24 @@ object QueriesData {
         "FROM buckets qa JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id " +
         "JOIN embeddings a ON a.vec_id = qa.vec_id JOIN embeddings b ON b.vec_id = qb.vec_id) " +
         "SELECT id_a, id_b, round(sim, 4) AS sim FROM pairs WHERE sim >= 0.30"),
+
+    "q42_ivf_ann_topk" -> {
+      def cos(a: String, b: String): String =
+        s"list_dot_product($a.embedding::DOUBLE[], $b.embedding::DOUBLE[]) / " +
+          s"(sqrt(list_dot_product($a.embedding::DOUBLE[], $a.embedding::DOUBLE[])) * " +
+          s"sqrt(list_dot_product($b.embedding::DOUBLE[], $b.embedding::DOUBLE[])))"
+      ("WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16), " +
+        s"asg AS (SELECT e.vec_id, c.cid AS cell FROM embeddings e, cents c " +
+        s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e", "c")} DESC, c.cid ASC) = 1), " +
+        s"probes AS (SELECT q.vec_id AS qid, c.cid AS cell FROM embeddings q, cents c WHERE q.vec_id < 40 " +
+        s"QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q", "c")} DESC, c.cid ASC) <= 4), " +
+        s"pairs AS (SELECT p.qid AS vec_id, m.vec_id AS nn_id, ${cos("a", "b")} AS sim " +
+        "FROM probes p JOIN asg m ON m.cell = p.cell " +
+        "JOIN embeddings a ON a.vec_id = p.qid JOIN embeddings b ON b.vec_id = m.vec_id " +
+        "WHERE p.qid <> m.vec_id) " +
+        "SELECT vec_id, nn_id, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM pairs QUALIFY rank <= 3")
+    },
 
     "q30_media_meta" ->
       ("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +

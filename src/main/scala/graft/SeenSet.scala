@@ -202,8 +202,9 @@ object SeenSet {
       .agg(bloomAgg(col("url")).as("bloom"), cuckooAgg(col("url")).as("cuckoo"))
   }
 
-  /** Merge two filter tables (same geometry) bucket-wise. */
-  def mergeFilterTables(a: DataFrame, b: DataFrame): DataFrame = {
+  /** Compact a (possibly multi-row-per-bucket) filter table to one row per
+    * bucket — the periodic compaction of append-only filter deltas. */
+  def compactFilters(filters: DataFrame): DataFrame = {
     val mergeBloom = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
       val f1 = BloomFilter.readFrom(new ByteArrayInputStream(x))
       f1.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(y)))
@@ -212,12 +213,16 @@ object SeenSet {
     val mergeCuckoo = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
       CuckooFilter.deserialize(x).merge(CuckooFilter.deserialize(y)).serialize()
     })
-    a.unionByName(b)
+    filters
       .groupBy(col("bucket"))
       .agg(collect_list(col("bloom")).as("blooms"), collect_list(col("cuckoo")).as("cuckoos"))
       .select(col("bucket"), mergeBloom(col("blooms")).as("bloom"),
         mergeCuckoo(col("cuckoos")).as("cuckoo"))
   }
+
+  /** Merge two filter tables (same geometry) bucket-wise. */
+  def mergeFilterTables(a: DataFrame, b: DataFrame): DataFrame =
+    compactFilters(a.unionByName(b))
 
   /** Per-partition membership probe — the scale-correct shape.
     *
@@ -233,49 +238,87 @@ object SeenSet {
     * nBuckets and swap the broadcast for a bucket-co-partitioned zip join —
     * the column contract (input + boolean `out`) is unchanged.
     */
-  private def probeWith[F](links: DataFrame, filters: DataFrame,
-      filterColName: String, deser: Array[Byte] => F,
-      containsFn: (F, String) => Boolean, out: String): DataFrame = {
-    val spark = links.sparkSession
-    val fmap: Map[Int, Array[Byte]] = filters
+  /** bucket -> filter-delta byte blobs (a bucket may carry SEVERAL deltas:
+    * append-only maintenance, compacted periodically; membership = hit in
+    * ANY of them). */
+  type FilterMap = Map[Int, Seq[Array[Byte]]]
+
+  /** Collect a (bucket, <col>) filter table into a driver-side [[FilterMap]]
+    * — done once per table, then reused across supersteps without
+    * re-reading parquet. */
+  def collectFilterMap(filters: DataFrame, filterColName: String): FilterMap =
+    filters
       .select(col("bucket").cast("int"), col(filterColName))
-      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
-    val bc = spark.sparkContext.broadcast(fmap)
-    val schema = links.schema.add(out, org.apache.spark.sql.types.BooleanType)
-    val bucketIdx = links.schema.fieldIndex("bucket")
-    val urlIdx = links.schema.fieldIndex("url")
-    links.mapPartitions { it =>
-      val cache = scala.collection.mutable.HashMap.empty[Int, Option[F]]
-      it.map { r =>
-        val b = r.getInt(bucketIdx)
-        val f = cache.getOrElseUpdate(b, bc.value.get(b).map(deser))
-        val hit = f.exists(containsFn(_, r.getString(urlIdx)))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ hit)
-      }
-    }(Encoders.row(schema))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).toSeq }
+
+  /** Per-JVM cache of deserialized filters, keyed by (broadcast id, bucket).
+    * Cleared whenever a NEWER broadcast generation shows up (one filter-map
+    * generation is live at a time), so long crawls don't accumulate stale
+    * sketches. Deserialization happens once per executor per bucket — not
+    * per row (the round-1 bug) and not even per partition. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), AnyRef]()
+  @volatile private var probeCacheGen = -1L
+  private def cachedFilters[F](bcId: Long, bucket: Int,
+      load: () => Seq[F]): Seq[F] = {
+    if (probeCacheGen != bcId) synchronized {
+      if (probeCacheGen != bcId) { probeCache.clear(); probeCacheGen = bcId }
+    }
+    probeCache.computeIfAbsent((bcId, bucket), _ => load().asInstanceOf[AnyRef])
+      .asInstanceOf[Seq[F]]
+  }
+
+  /** The probe is a plain scalar UDF over (bucket, url) with the filter map
+    * captured as a broadcast: the link stream stays inside whole-stage
+    * codegen (no Row-conversion boundary, unlike a mapPartitions), there is
+    * NO join and NO shuffle, and the sketch bytes deserialize once per
+    * executor via [[cachedFilters]]. */
+  private def probeWith[F](links: DataFrame, fmap: FilterMap,
+      deser: Array[Byte] => F,
+      containsFn: (F, String) => Boolean, out: String): DataFrame = {
+    val bc = links.sparkSession.sparkContext.broadcast(fmap)
+    val bcId = bc.id
+    val probeUdf = udf { (bucket: Int, url: String) =>
+      val fs = cachedFilters[F](bcId, bucket,
+        () => bc.value.getOrElse(bucket, Seq.empty).map(deser))
+      fs.exists(containsFn(_, url))
+    }
+    links.withColumn(out, probeUdf(col("bucket"), col("url")))
   }
 
   /** Adds boolean column `out`: Bloom might-contain(url) for the row's
     * bucket (false for buckets with no filter). No false negatives. */
-  def probeBloom(links: DataFrame, filters: DataFrame,
-                 out: String = "seenish"): DataFrame =
-    probeWith[BloomFilter](links, filters, "bloom",
+  def probeBloomMap(links: DataFrame, fmap: FilterMap,
+                    out: String = "seenish"): DataFrame =
+    probeWith[BloomFilter](links, fmap,
       bytes => BloomFilter.readFrom(new ByteArrayInputStream(bytes)),
       (f, url) => f.mightContainString(url), out)
 
+  def probeBloom(links: DataFrame, filters: DataFrame,
+                 out: String = "seenish"): DataFrame =
+    probeBloomMap(links, collectFilterMap(filters, "bloom"), out)
+
   /** Adds boolean column `out`: cuckoo contains(url) for the row's bucket. */
+  def probeCuckooMap(links: DataFrame, fmap: FilterMap,
+                     out: String = "seenish"): DataFrame =
+    probeWith[CuckooFilter](links, fmap,
+      CuckooFilter.deserialize, (f, url) => f.contains(url), out)
+
   def probeCuckoo(links: DataFrame, filters: DataFrame,
                   out: String = "seenish"): DataFrame =
-    probeWith[CuckooFilter](links, filters, "cuckoo",
-      CuckooFilter.deserialize, (f, url) => f.contains(url), out)
+    probeCuckooMap(links, collectFilterMap(filters, "cuckoo"), out)
 
   /** Split candidate links into (probably-seen, definitely-new) using the
     * per-bucket Bloom filters. Bloom guarantees no false negatives, so
     * "definitely-new" is exact — those rows skip the frontier join
     * entirely (J1's shuffle-avoidance at scale, SURVEY §2.5). */
-  def splitByBloom(links: DataFrame, filters: DataFrame): (DataFrame, DataFrame) = {
-    val probed = probeBloom(links, filters)
+  def splitByBloomMap(links: DataFrame, fmap: FilterMap): (DataFrame, DataFrame) = {
+    val probed = probeBloomMap(links, fmap)
     (probed.filter(col("seenish")).drop("seenish"),
       probed.filter(!col("seenish")).drop("seenish"))
   }
+
+  def splitByBloom(links: DataFrame, filters: DataFrame): (DataFrame, DataFrame) =
+    splitByBloomMap(links, collectFilterMap(filters, "bloom"))
 }

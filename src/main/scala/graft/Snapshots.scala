@@ -23,7 +23,10 @@ final case class Manifest(
     phase: String, // "pop" | "done"
     frontierPath: String, // frontier dir WRITTEN this batch (delta buckets)
     popBatchPath: String,
-    filtersPath: String,
+    // Seen-filter deltas, oldest -> newest: each dir holds per-bucket
+    // bloom+cuckoo rows for the urls that batch inserted; the probe checks
+    // ANY delta, and the loop compacts to one dir every few supersteps.
+    filtersPaths: Seq[String],
     // The authoritative frontier view: bucket id -> the batch-frontier dir
     // holding that bucket's current rows. A superstep rewrites only the
     // buckets it changed (delta snapshot — the reference's dirty-page

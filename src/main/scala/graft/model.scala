@@ -69,6 +69,9 @@ final case class BatchMetrics(
     frontierSize: Long,
     elapsedMs: Long)
 
+/** One bucket's serialized seen-filters (a row of the filter-delta table). */
+final case class FilterShard(bucket: Int, bloom: Array[Byte], cuckoo: Array[Byte])
+
 /** A posting: quantized term score for a document within an epoch shard
   * (reference: src/index.rs:12-20, score quantization src/main.rs:273-275). */
 final case class Posting(epoch: Int, term: String, doc_id: Long, score: Int)

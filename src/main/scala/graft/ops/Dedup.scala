@@ -42,10 +42,18 @@ object Dedup {
   // N-gram Jaccard (exact pairwise, post-candidate verification)
   // ---------------------------------------------------------------------
 
-  /** Distinct word-k-shingles per doc: (id, shingle). */
+  /** Distinct word-k-shingles per doc: (id, shingle).
+    *
+    * The words array is materialized as its own projection FIRST: inlining
+    * `TextOps.words(text)` into the shingle transform would re-split the
+    * text for every element_at inside the lambda (higher-order-function
+    * bodies get no common-subexpression elimination) — an O(words²) string
+    * split per document. CollapseProject keeps the split un-inlined because
+    * the reference is used many times and split() is not a cheap expression. */
   def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(array_distinct(TextOps.shingles(TextOps.words(col(textCol)), k))).as("shingle"))
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("__ws"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("__ws"), k))).as("shingle"))
 
   /** (id, h): the doc's distinct shingle HASHES. All pairwise set math joins
     * on the 8-byte hash, never the ~10-word shingle string — the shuffles
@@ -186,12 +194,11 @@ object Dedup {
     * over the (tiny, post-verification) edge set. */
   def connectedMinLabel(ids: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b"), col("id_a"))).distinct()
+      .union(edges.select(col("id_b"), col("id_a"))).distinct().persist()
     var labels = ids.select(col("id"), col("id").as("label")).persist()
-    labels.count()
-    var converged = false
+    var changed = 1L
     var rounds = 0
-    while (!converged && rounds < 64) {
+    while (changed > 0 && rounds < 64) {
       val viaEdge = und.join(labels, und("src") === labels("id"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("elabel"))
       val viaJump = labels.as("l1")
@@ -205,13 +212,13 @@ object Dedup {
             coalesce(col("elabel"), col("label")),
             coalesce(col("jlabel"), col("label"))).as("label"))
         .persist()
-      converged = next.filter(col("label") =!= col("old")).isEmpty
-      val prev = labels
-      labels = next.select("id", "label").persist()
-      labels.count()
-      prev.unpersist(); next.unpersist()
+      // ONE action per round: materializes `next` and tests the fixed point
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.select("id", "label")
       rounds += 1
     }
+    und.unpersist()
     labels
   }
 
@@ -227,12 +234,17 @@ object Dedup {
                      minJaccardMicro: Long): DataFrame = {
     val sh = docShingles(df, idCol, textCol, shingleK)
     val cand = lshCandidates(minhashSignatures(sh, hashes), hashes, bands)
-    val dups = verifiedNearDups(sh, cand, minJaccardMicro)
-    val comp = connectedMinLabel(df.select(col(idCol).as("id")), dups)
-    df.select(col(idCol).as("id"))
-      .join(comp, Seq("id"))
-      .select(col("id"), col("label").as("keeper_id"))
+    val dups = verifiedNearDups(sh, cand, minJaccardMicro).persist()
+    // CC runs over the (small) edge-touched id set only; everyone else is
+    // their own keeper — the iteration never scans the full corpus
+    val edgeIds = dups.select(col("id_a").as("id"))
+      .union(dups.select(col("id_b"))).distinct()
+    val comp = connectedMinLabel(edgeIds, dups)
+    val out = df.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("keeper_id"))
       .withColumn("is_dup", (col("id") =!= col("keeper_id")).cast("long"))
+    out
   }
 
   // ---------------------------------------------------------------------

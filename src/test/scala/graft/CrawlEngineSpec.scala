@@ -167,7 +167,7 @@ class CrawlEngineSpec extends AnyFunSuite {
     val pop = Frontier.popBatch(frontier, cfg)
     pop.write.mode("overwrite").parquet(Snapshots.popBatchPath(dir, 2))
     Snapshots.commit(dir, Manifest(2, "pop", "",
-      Snapshots.popBatchPath(dir, 2), m2.filtersPath, m2.bucketPaths,
+      Snapshots.popBatchPath(dir, 2), m2.filtersPaths, m2.bucketPaths,
       m2.perBucketRows, None, seed, nDocs))
 
     val resumed = runEngine(dir) // must pick up the committed pop batch

@@ -170,6 +170,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: probing ALL cells equals exact brute-force top-k") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val ivf = Similarity.ivfTopK(vecs, vecs, kCells = 4, nprobe = 4, k = 3)
+      .collect().map(key).toSet
+    val brute = Similarity.bruteTopK(vecs, vecs, k = 3)
+      .collect().map(key).toSet
+    assert(ivf == brute)
+    // with nprobe < kCells, recall can drop but never improve: each query's
+    // best reported sim is bounded by its exact best
+    val bruteBest = Similarity.bruteTopK(vecs, vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val partial = Similarity.ivfTopK(vecs, vecs, kCells = 4, nprobe = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3))
+    assert(partial.nonEmpty)
+    partial.foreach { case (q, sim) => assert(sim <= bruteBest(q) + 1e-9) }
+  }
+
   test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
     val f0 = TextOps.rollingFingerprint(texts(0)._2, 8)
     assert(f0 >= 0 && f0 < (1L << 31) - 1)
