@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // Cap the JVM's view of the machine (GC/JIT/common-pool threads) so a
+  // local[N] run really behaves like an N-core node — without this, a
+  // "2-core" scaling baseline borrows all 32 cores for GC and the N vs 4N
+  // comparison under-reports scaling efficiency.
+  sys.env.get("SPARK_GRAFT_PROC_COUNT").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

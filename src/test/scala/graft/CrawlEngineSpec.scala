@@ -184,6 +184,27 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(resumed.batches.nonEmpty)
   }
 
+  test("delta snapshots: unchanged buckets carry forward by reference, changed ones rewrite") {
+    // many buckets + a tiny batch => most buckets are untouched per superstep
+    val dir = tmpDir("delta")
+    runEngine(dir, cfg.copy(maxBatches = 3, batchSize = 6, perHostCap = 2,
+      nBuckets = 64))
+    val m = Snapshots.readCurrent(dir).get
+    val dirsReferenced = m.bucketPaths.values.toSet
+    // at least one bucket must still point at an OLDER batch dir (i.e. it
+    // was never rewritten), and the latest batch rewrote at least one
+    assert(dirsReferenced.size >= 2,
+      s"expected multiple generations in bucketPaths, got $dirsReferenced")
+    assert(dirsReferenced.contains(m.frontierPath))
+    // the latest write contains ONLY the changed buckets, not the world
+    val latestBuckets = m.bucketPaths.count(_._2 == m.frontierPath)
+    assert(latestBuckets < m.bucketPaths.size,
+      "latest snapshot rewrote every bucket — delta write is not delta")
+    // and the assembled view is still exactly the full frontier
+    assert(Snapshots.readFrontier(spark, m.bucketPaths).count() ==
+      m.perBucketRows.values.sum)
+  }
+
   test("robots: blocked host is never fetched but still popped") {
     val dir = tmpDir("robots")
     val res = runEngine(dir)
