@@ -29,7 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++
   // Cap the JVM's view of the machine (GC/JIT/common-pool threads) so a
-  // local[N] run really behaves like an N-core node — without this, a
-  // "2-core" scaling baseline borrows all 32 cores for GC and the N vs 4N
-  // comparison under-reports scaling efficiency.
+  // local[N] run really behaves like an N-core node. For SINGLE-LEVEL
+  // experiments only (e.g. one runMain at one parallelism): graft.Bench
+  // runs both scaling levels in ONE JVM, so a single cap would distort
+  // whichever level it doesn't match — do not set it for the full bench.
   sys.env.get("SPARK_GRAFT_PROC_COUNT").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

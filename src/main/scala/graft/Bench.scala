@@ -143,6 +143,12 @@ object Bench {
     // filters→checkpoint commit), excluding session/corpus setup
     val sec = res.batches.map(_.elapsedMs).sum / 1e3
     val urls = res.batches.map(b => b.popped + b.linksExtracted).sum
+    // tmpfs hygiene: the sweep runs several crawls — dead state dirs would
+    // otherwise sit in RAM-backed storage for the box's lifetime
+    import java.util.Comparator
+    java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
     (urls, sec)
   }
 

@@ -58,9 +58,6 @@ object CrawlLoop {
       r
     }
 
-  private def filterCapacity(cfg: CrawlConfig): Long =
-    math.max(1024L, 4L * cfg.batchSize / cfg.nBuckets)
-
   private def collectShards(filters: DataFrame): Array[FilterShard] =
     filters.collect().map(r =>
       FilterShard(r.getInt(0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2)))
@@ -105,9 +102,12 @@ object CrawlLoop {
     var bloomMap: SeenSet.FilterMap = Map.empty
 
     // one row per host, whatever the input shape: a (malformed) multi-row
-    // host must neither inflate counts nor duplicate rows through the gate
+    // host must neither inflate counts nor duplicate rows through the gate.
+    // Persisted once — rebuilding it inside every superstep's broadcast
+    // would re-run the normalization scan per batch.
     val robotsNorm = robots.groupBy(col("host"))
       .agg(flatten(collect_list(col("disallow"))).as("disallow"))
+      .persist()
 
     readCurrent(stateDir) match {
       case Some(m) =>
@@ -118,6 +118,14 @@ object CrawlLoop {
         bucketPaths = m.bucketPaths
         perBucket = m.perBucketRows
         filtersPaths = m.filtersPaths
+        if (bucketPaths.isEmpty && m.frontierPath.nonEmpty) {
+          // manifest written before delta snapshots existed: frontierPath
+          // held the whole frontier — synthesize the bucket map from it
+          val counts = spark.read.parquet(m.frontierPath)
+            .groupBy(col("bucket")).count().collect()
+          perBucket = counts.map(r => r.getInt(0).toString -> r.getLong(1)).toMap
+          bucketPaths = perBucket.keys.map(_ -> m.frontierPath).toMap
+        }
         if (m.phase == "pop") {
           batch = m.batch
           pendingPop = Some(spark.read.parquet(m.popBatchPath))
@@ -143,8 +151,7 @@ object CrawlLoop {
         // filters is treated as definitely-fresh and would be duplicated.
         val p0 = Snapshots.filtersPath(stateDir, batch - 1)
         val shards = collectShards(SeenSet.buildFilters(
-          frontier.select("url", "bucket"),
-          expectedPerBucket = filterCapacity(cfg)))
+          frontier.select("url", "bucket")))
         writeShards(spark, shards, p0)
         filtersPaths = Seq(p0)
         bloomMap = bloomMapOf(shards)
@@ -290,15 +297,19 @@ object CrawlLoop {
           val freshUrlsDf = merged
             .filter(col("was_existing") === 0)
             .select(col("url"), col("bucket"))
-          val shards = collectShards(SeenSet.buildFilters(freshUrlsDf,
-            expectedPerBucket = filterCapacity(cfg)))
+          val shards = collectShards(SeenSet.buildFilters(freshUrlsDf))
           writeShards(spark, shards, newFiltersPath)
           filtersPaths = filtersPaths :+ newFiltersPath
           bloomMap = appendBloom(bloomMap, shards)
           if (filtersPaths.size > CompactEvery) {
+            // Compaction REBUILDS from the frontier (the exact seen set)
+            // instead of merging delta blobs: the result is right-sized for
+            // the whole membership, never saturates, and is immune to
+            // geometry drift when a resume changes batchSize. One full
+            // frontier pass every CompactEvery supersteps — amortized.
             val compacted = newFiltersPath + "-compacted"
-            val cShards = collectShards(
-              SeenSet.compactFilters(spark.read.parquet(filtersPaths: _*)))
+            val cShards = collectShards(SeenSet.buildFilters(
+              readFrontier(spark, bucketPaths).select("url", "bucket")))
             writeShards(spark, cShards, compacted)
             filtersPaths = Seq(compacted)
             bloomMap = bloomMapOf(cShards)
@@ -326,6 +337,7 @@ object CrawlLoop {
         batch += 1
       }
     }
+    robotsNorm.unpersist()
     CrawlResult(metricsOut.result(), stateDir)
   }
 

@@ -166,63 +166,81 @@ object CuckooFilter {
   * sketch so the two coexist as the north star asks). */
 object SeenSet {
 
-  final class CuckooAggregator(expectedPerGroup: Long)
-      extends Aggregator[String, CuckooFilter, Array[Byte]] {
-    def zero: CuckooFilter = CuckooFilter.forCapacity(expectedPerGroup)
-    def reduce(b: CuckooFilter, url: String): CuckooFilter = { b.insert(url); b }
-    def merge(b1: CuckooFilter, b2: CuckooFilter): CuckooFilter = b1.merge(b2)
-    def finish(b: CuckooFilter): Array[Byte] = b.serialize()
-    def bufferEncoder: Encoder[CuckooFilter] = Encoders.kryo[CuckooFilter]
+  /** The url key hash shared by every filter (one hash per url, both
+    * filters key on it). */
+  def urlHash(url: String): Long = CuckooFilter.hash64(url)
+
+  /** Both aggregators buffer url HASHES and size the filter at finish()
+    * from the EXACT group count: a fixed expected-capacity filter either
+    * wastes memory or saturates — and a saturated cuckoo filter silently
+    * DROPS fingerprints on insert failure (false negatives), which would
+    * break the membership contract. Buffering costs 8 bytes per url per
+    * group, bounded by the batch's fresh-url count. */
+  final class CuckooAggregator
+      extends Aggregator[String, scala.collection.mutable.ArrayBuffer[Long], Array[Byte]] {
+    def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: scala.collection.mutable.ArrayBuffer[Long], url: String) =
+      { b += urlHash(url); b }
+    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+              b: scala.collection.mutable.ArrayBuffer[Long]) = { a ++= b; a }
+    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+      // exact-count sizing, with a grow-and-retry fallback: a cuckoo insert
+      // near full load can fail before capacity — never drop a key
+      var cap = math.max(b.size.toLong, 16L)
+      var built: CuckooFilter = null
+      while (built == null) {
+        val f = CuckooFilter.forCapacity(cap)
+        if (b.forall(f.insertHash)) built = f else cap *= 2
+      }
+      built.serialize()
+    }
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  final class BloomAggregator(expectedPerGroup: Long, fpp: Double)
-      extends Aggregator[String, BloomFilter, Array[Byte]] {
-    def zero: BloomFilter = BloomFilter.create(expectedPerGroup, fpp)
-    def reduce(b: BloomFilter, url: String): BloomFilter = { b.putString(url); b }
-    def merge(b1: BloomFilter, b2: BloomFilter): BloomFilter = { b1.mergeInPlace(b2); b1 }
-    def finish(b: BloomFilter): Array[Byte] = {
-      val out = new ByteArrayOutputStream(); b.writeTo(out); out.toByteArray
+  final class BloomAggregator(fpp: Double)
+      extends Aggregator[String, scala.collection.mutable.ArrayBuffer[Long], Array[Byte]] {
+    def zero: scala.collection.mutable.ArrayBuffer[Long] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: scala.collection.mutable.ArrayBuffer[Long], url: String) =
+      { b += urlHash(url); b }
+    def merge(a: scala.collection.mutable.ArrayBuffer[Long],
+              b: scala.collection.mutable.ArrayBuffer[Long]) = { a ++= b; a }
+    def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
+      val f = BloomFilter.create(math.max(b.size.toLong, 16L), fpp)
+      b.foreach(f.putLong)
+      val out = new ByteArrayOutputStream(); f.writeTo(out); out.toByteArray
     }
-    def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Long]] =
+      Encoders.kryo[scala.collection.mutable.ArrayBuffer[Long]]
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   /** Build one Bloom + one cuckoo filter per frontier bucket:
-    * filters(bucket, bloom, cuckoo). The partitioned layout is the point —
-    * at 10^10 URLs one monolithic 20 GB filter (src/main-old.rs:57) can't be
-    * broadcast, but per-bucket filters co-partitioned with the URL hash can
-    * be joined to incoming links with the links as the only shuffled side. */
-  def buildFilters(urlsWithBucket: DataFrame, expectedPerBucket: Long,
-                   fpp: Double = 0.03): DataFrame = {
-    val bloomAgg = udaf(new BloomAggregator(expectedPerBucket, fpp))
-    val cuckooAgg = udaf(new CuckooAggregator(expectedPerBucket))
+    * filters(bucket, bloom, cuckoo), each sized from the bucket's exact url
+    * count. The partitioned layout is the point — at 10^10 URLs one
+    * monolithic 20 GB filter (src/main-old.rs:57) can't be broadcast, but
+    * per-bucket filters co-partitioned with the URL hash can be probed with
+    * zero shuffle of the link stream. */
+  def buildFilters(urlsWithBucket: DataFrame, fpp: Double = 0.03): DataFrame = {
+    val bloomAgg = udaf(new BloomAggregator(fpp))
+    val cuckooAgg = udaf(new CuckooAggregator)
     urlsWithBucket
       .groupBy(col("bucket"))
       .agg(bloomAgg(col("url")).as("bloom"), cuckooAgg(col("url")).as("cuckoo"))
   }
 
-  /** Compact a (possibly multi-row-per-bucket) filter table to one row per
-    * bucket — the periodic compaction of append-only filter deltas. */
-  def compactFilters(filters: DataFrame): DataFrame = {
-    val mergeBloom = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
-      val f1 = BloomFilter.readFrom(new ByteArrayInputStream(x))
-      f1.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(y)))
-      val out = new ByteArrayOutputStream(); f1.writeTo(out); out.toByteArray
-    })
-    val mergeCuckoo = udf((xs: Seq[Array[Byte]]) => xs.reduce { (x, y) =>
-      CuckooFilter.deserialize(x).merge(CuckooFilter.deserialize(y)).serialize()
-    })
-    filters
-      .groupBy(col("bucket"))
-      .agg(collect_list(col("bloom")).as("blooms"), collect_list(col("cuckoo")).as("cuckoos"))
-      .select(col("bucket"), mergeBloom(col("blooms")).as("bloom"),
-        mergeCuckoo(col("cuckoos")).as("cuckoo"))
-  }
-
-  /** Merge two filter tables (same geometry) bucket-wise. */
+  /** Merge two filter tables: the union IS the merged form — a bucket may
+    * carry several delta rows and membership is "hit in ANY of them"
+    * ([[probeWith]]). Filters are exact-count sized per delta, so blob-level
+    * merging (which requires identical geometry and can silently saturate a
+    * cuckoo filter, dropping fingerprints) is deliberately NOT offered; to
+    * get back to one row per bucket, REBUILD from the authoritative url set
+    * (the crawl loop compacts from the frontier this way). */
   def mergeFilterTables(a: DataFrame, b: DataFrame): DataFrame =
-    compactFilters(a.unionByName(b))
+    a.unionByName(b)
 
   /** Per-partition membership probe — the scale-correct shape.
     *
@@ -293,7 +311,7 @@ object SeenSet {
                     out: String = "seenish"): DataFrame =
     probeWith[BloomFilter](links, fmap,
       bytes => BloomFilter.readFrom(new ByteArrayInputStream(bytes)),
-      (f, url) => f.mightContainString(url), out)
+      (f, url) => f.mightContainLong(urlHash(url)), out)
 
   def probeBloom(links: DataFrame, filters: DataFrame,
                  out: String = "seenish"): DataFrame =
@@ -303,7 +321,7 @@ object SeenSet {
   def probeCuckooMap(links: DataFrame, fmap: FilterMap,
                      out: String = "seenish"): DataFrame =
     probeWith[CuckooFilter](links, fmap,
-      CuckooFilter.deserialize, (f, url) => f.contains(url), out)
+      CuckooFilter.deserialize, (f, url) => f.containsHash(urlHash(url)), out)
 
   def probeCuckoo(links: DataFrame, filters: DataFrame,
                   out: String = "seenish"): DataFrame =

@@ -26,13 +26,13 @@ final case class Manifest(
     // Seen-filter deltas, oldest -> newest: each dir holds per-bucket
     // bloom+cuckoo rows for the urls that batch inserted; the probe checks
     // ANY delta, and the loop compacts to one dir every few supersteps.
-    filtersPaths: Seq[String],
+    filtersPaths: Seq[String] = Seq.empty,
     // The authoritative frontier view: bucket id -> the batch-frontier dir
     // holding that bucket's current rows. A superstep rewrites only the
     // buckets it changed (delta snapshot — the reference's dirty-page
     // analog, src/pqueuethread.rs:58-87); unchanged buckets stay referenced
     // at their last-written dir, so snapshot IO is O(delta), not O(frontier).
-    bucketPaths: Map[String, String],
+    bucketPaths: Map[String, String] = Map.empty,
     perBucketRows: Map[String, Long], // lineage: frontier rows per bucket
     metrics: Option[BatchMetrics],
     seed: Long,

@@ -51,7 +51,7 @@ object SparkEntry {
       val u = QueriesCrawl.urls(s, d)
         .withColumn("bucket", Frontier.bucketCol(col("url"), 16))
       val half = u.filter(col("doc_id") % 2 === 0).select("url", "bucket")
-      val filters = SeenSet.buildFilters(half, expectedPerBucket = 4096L)
+      val filters = SeenSet.buildFilters(half)
       val (seenish, fresh) = SeenSet.splitByBloom(u.select("url", "bucket"), filters)
       seenish.groupBy(col("bucket")).agg(count(lit(1)).as("n_seenish"))
         .join(fresh.groupBy(col("bucket")).agg(count(lit(1)).as("n_fresh")),

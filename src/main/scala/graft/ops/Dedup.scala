@@ -195,7 +195,10 @@ object Dedup {
   def connectedMinLabel(ids: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b"), col("id_a"))).distinct().persist()
-    var labels = ids.select(col("id"), col("id").as("label")).persist()
+    // `cached` tracks the frame that actually holds the persist (a .select
+    // view would make unpersist a no-op and leak every round's cache)
+    var cached: DataFrame = null
+    var labels = ids.select(col("id"), col("id").as("label"))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -214,7 +217,8 @@ object Dedup {
         .persist()
       // ONE action per round: materializes `next` and tests the fixed point
       changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      if (cached != null) cached.unpersist()
+      cached = next
       labels = next.select("id", "label")
       rounds += 1
     }
@@ -240,11 +244,14 @@ object Dedup {
     val edgeIds = dups.select(col("id_a").as("id"))
       .union(dups.select(col("id_b"))).distinct()
     val comp = connectedMinLabel(edgeIds, dups)
-    val out = df.select(col(idCol).as("id"))
+    // comp's final round is already materialized+cached by the CC loop, so
+    // the verified-pair cache can be released here (lineage hygiene: only
+    // the small final label frame stays cached per call)
+    dups.unpersist()
+    df.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("keeper_id"))
       .withColumn("is_dup", (col("id") =!= col("keeper_id")).cast("long"))
-    out
   }
 
   // ---------------------------------------------------------------------

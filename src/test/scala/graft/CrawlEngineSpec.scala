@@ -205,6 +205,29 @@ class CrawlEngineSpec extends AnyFunSuite {
       m.perBucketRows.values.sum)
   }
 
+  test("filter-delta compaction: long crawls fold deltas and stay oracle-exact") {
+    // enough supersteps to cross CompactEvery; tiny batches keep it fast
+    val longCfg = cfg.copy(maxBatches = 12, batchSize = 12, perHostCap = 3)
+    val dir = tmpDir("compact")
+    val res = runEngine(dir, longCfg)
+    assert(res.batches.size > CrawlLoop.CompactEvery,
+      "fixture must run past the compaction threshold")
+    val m = Snapshots.readCurrent(dir).get
+    assert(m.filtersPaths.size <= CrawlLoop.CompactEvery,
+      s"deltas never compacted: ${m.filtersPaths.size} paths")
+    // golden replay still exact after compaction
+    val o = ReferenceOracle.run(docsLocal, Corpus.robotsEntries,
+      Corpus.seeds(nDocs), longCfg)
+    val engineFrontier = Snapshots.readFrontier(spark, m.bucketPaths)
+      .select("url", "host", "priority", "popped")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(engineFrontier == o.frontier)
+    res.batches.zip(o.metrics).foreach { case (e, om) =>
+      assert(e.copy(elapsedMs = 0) == om.copy(elapsedMs = 0), s"metrics batch ${om.batch}")
+    }
+  }
+
   test("robots: blocked host is never fetched but still popped") {
     val dir = tmpDir("robots")
     val res = runEngine(dir)

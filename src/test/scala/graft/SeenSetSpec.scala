@@ -13,7 +13,7 @@ class SeenSetSpec extends AnyFunSuite {
 
   test("per-bucket bloom+cuckoo filters: no false negatives via per-partition probe") {
     val seen = urlsDf(3000, "seen")
-    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000).persist()
+    val filters = SeenSet.buildFilters(seen).persist()
     assert(filters.count() == 8)
 
     val bMisses = SeenSet.probeBloom(seen, filters).filter(!col("seenish")).count()
@@ -24,7 +24,7 @@ class SeenSetSpec extends AnyFunSuite {
 
   test("splitByBloom: 'fresh' side is exact (bloom has no false negatives)") {
     val seen = urlsDf(2000, "seen")
-    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000)
+    val filters = SeenSet.buildFilters(seen)
     val incoming = urlsDf(500, "seen").union(urlsDf(800, "new"))
     val (seenish, fresh) = SeenSet.splitByBloom(incoming, filters)
     val freshUrls = fresh.select("url").collect().map(_.getString(0)).toSet
@@ -36,7 +36,7 @@ class SeenSetSpec extends AnyFunSuite {
 
   test("probe is a narrow map: no join, no shuffle of the link stream") {
     val seen = urlsDf(1000, "seen")
-    val filters = SeenSet.buildFilters(seen, expectedPerBucket = 1000)
+    val filters = SeenSet.buildFilters(seen)
     val probed = SeenSet.probeBloom(urlsDf(400, "x"), filters)
     val plan = probed.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"probe plan contains a join:\n$plan")
@@ -44,8 +44,8 @@ class SeenSetSpec extends AnyFunSuite {
   }
 
   test("incremental filter-table merge keeps old membership") {
-    val a = SeenSet.buildFilters(urlsDf(1000, "a"), 1000)
-    val b = SeenSet.buildFilters(urlsDf(1000, "b"), 1000)
+    val a = SeenSet.buildFilters(urlsDf(1000, "a"))
+    val b = SeenSet.buildFilters(urlsDf(1000, "b"))
     val merged = SeenSet.mergeFilterTables(a, b).persist()
     val all = urlsDf(1000, "a").union(urlsDf(1000, "b"))
     val misses = SeenSet.probeBloom(all, merged).filter(!col("seenish"))
