@@ -170,6 +170,16 @@ object QueriesData {
       tbl(s, d, "documents").select(col("doc_id"),
         TextOps.rollingFingerprintUdf(col("text"), 32).as("rfp"))),
 
+    // streaming first-seen dedup, batch form (same code path runs on a
+    // readStream with checkpointed state — parity tested in StreamingSpec)
+    "q43_stream_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = tbl(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .as[graft.streaming.DedupStream.DocHash]
+      graft.streaming.DedupStream.firstSeen(s, docs).toDF()
+    }),
+
     "q32_sessionize" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
@@ -356,6 +366,10 @@ object QueriesData {
         "FROM c, LATERAL unnest(generate_series(1, n - kk + 1)) t(i)) " +
         "SELECT doc_id, CAST(min(h) AS BIGINT) AS rfp FROM win GROUP BY doc_id")
     },
+
+    "q43_stream_dedup" ->
+      ("SELECT doc_id, md5(text) AS content_hash FROM documents " +
+        "QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1"),
 
     "q32_sessionize" ->
       ("WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
