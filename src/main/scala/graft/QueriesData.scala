@@ -163,12 +163,16 @@ object QueriesData {
         .agg(count(lit(1)).as("n"), sum(col("value_milli")).as("sum_milli"))),
 
     // content-defined rolling-hash fingerprint (Karp-Rabin base-257 mod
-    // 2^31-1, winnowing min over 32-char windows). The DuckDB twin inlines
-    // the 32 precomputed power constants and evaluates each window's
-    // polynomial directly (mod of the full sum == incremental mod).
-    "q38_rolling_fingerprint" -> ((s, d) =>
+    // 2^31-1, winnowing min over 32-char windows) via the NATIVE Catalyst
+    // expression (graft.functions.RollingFingerprint — doGenCode, no UDF).
+    // The DuckDB twin inlines the 32 precomputed power constants and
+    // evaluates each window's polynomial directly (mod of the full sum ==
+    // incremental mod).
+    "q38_rolling_fingerprint" -> ((s, d) => {
+      GraftExtensions.register(s)
       tbl(s, d, "documents").select(col("doc_id"),
-        TextOps.rollingFingerprintUdf(col("text"), 32).as("rfp"))),
+        expr("graft_rolling_fingerprint(text, 32)").as("rfp"))
+    }),
 
     // streaming first-seen dedup, batch form (same code path runs on a
     // readStream with checkpointed state — parity tested in StreamingSpec)

@@ -116,8 +116,10 @@ object TextOps {
   /** Karp–Rabin rolling hash over a string (base-257 poly mod the Mersenne
     * prime 2^31-1, so every product stays within 62 bits) plus
     * winnowing-style minimum over all k-length windows — the classic
-    * content-defined fingerprint (not SQL-portable; exercised by ScalaTest
-    * and available to the engine via [[rollingFingerprintUdf]]). */
+    * content-defined fingerprint. This is the pure-Scala TWIN for tests;
+    * the engine's form is the native Catalyst expression
+    * graft.functions.RollingFingerprint (doGenCode — whole-stage-codegen'd,
+    * registered as graft_rolling_fingerprint via GraftExtensions). */
   def rollingFingerprint(text: String, k: Int): Long = {
     val M = (1L << 31) - 1
     val B = 257L
@@ -143,6 +145,4 @@ object TextOps {
     }
   }
 
-  private val rollingUdf = udf((t: String, k: Int) => rollingFingerprint(t, k))
-  def rollingFingerprintUdf(text: Column, k: Int): Column = rollingUdf(text, lit(k))
 }
