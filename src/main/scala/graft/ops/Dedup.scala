@@ -226,12 +226,47 @@ object Dedup {
     labels
   }
 
+  /** [[connectedMinLabel]] with a small-graph fast path: when the edge set
+    * fits comfortably on the driver (it is the VERIFIED near-dup pair set —
+    * usually a sliver of the corpus) a local union-find beats log-diameter
+    * rounds of distributed joins that each pay a scheduling round-trip.
+    * Same fixed point either way (component minimum is unique). The fast
+    * path requires long ids; anything else falls through to the
+    * distributed propagation. */
+  def connectedMinLabelAuto(ids: DataFrame, edges: DataFrame,
+                            localLimit: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val idsAreLong = ids.schema.head.dataType == LongType &&
+      edges.schema.take(2).forall(_.dataType == LongType)
+    if (!idsAreLong || edges.count() > localLimit)
+      return connectedMinLabel(ids, edges)
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+      r
+    }
+    edges.select(col("id_a"), col("id_b")).collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // union by min root => every root IS its component minimum
+    val labels = ids.select(col("id")).collect()
+      .map(r => { val i = r.getLong(0); (i, find(i)) })
+    labels.toSeq.toDF("id", "label")
+  }
+
   /** The composed near-dedup pipeline a training-data curator runs:
     * shingle → MinHash signatures → LSH candidate pairs → exact-Jaccard
     * verification → per-doc keeper assignment. keeper_id is the MINIMUM id
-    * of the doc's verified-duplicate connected component ([[connectedMinLabel]]),
-    * so even non-transitive clusters (pairs (1,2),(2,3) verified without
-    * (1,3)) resolve every duplicate to a retained (is_dup=0) document.
+    * of the doc's verified-duplicate connected component ([[connectedMinLabel]],
+    * with a driver union-find fast path for small verified sets), so even
+    * non-transitive clusters (pairs (1,2),(2,3) verified without (1,3))
+    * resolve every duplicate to a retained (is_dup=0) document.
     * Output: (id, keeper_id, is_dup). */
   def nearDupKeepers(df: DataFrame, idCol: String, textCol: String,
                      shingleK: Int, hashes: Int, bands: Int,
@@ -243,7 +278,7 @@ object Dedup {
     // their own keeper — the iteration never scans the full corpus
     val edgeIds = dups.select(col("id_a").as("id"))
       .union(dups.select(col("id_b"))).distinct()
-    val comp = connectedMinLabel(edgeIds, dups)
+    val comp = connectedMinLabelAuto(edgeIds, dups)
     // comp's final round is already materialized+cached by the CC loop, so
     // the verified-pair cache can be released here (lineage hygiene: only
     // the small final label frame stays cached per call)

@@ -90,6 +90,19 @@ class OpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedMinLabelAuto: driver union-find == distributed propagation") {
+    val ids = (1L to 40L).toDF("id")
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L)) ++
+      (20L until 30L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val local = Dedup.connectedMinLabelAuto(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedMinLabel(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Auto covers only ids it was given; both must agree on every id
+    assert(local == dist)
+    assert(local(4L) == 1L && local(12L) == 10L && local(30L) == 20L && local(35L) == 35L)
+  }
+
   test("LSH bucket cap: degenerate bucket split preserves exact results") {
     // 30 identical vectors pile into one bucket; cap 8 forces the salted
     // subgroup split — results must equal the unbounded join exactly
