@@ -146,9 +146,10 @@ object Bench {
     // tmpfs hygiene: the sweep runs several crawls — dead state dirs would
     // otherwise sit in RAM-backed storage for the box's lifetime
     import java.util.Comparator
-    java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
-      .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
+    try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close() // the stream holds a directory fd until closed
     (urls, sec)
   }
 

