@@ -115,30 +115,45 @@ object Bench {
     }.min
   }
 
+  private def tmpRoot: java.nio.file.Path =
+    if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+
   /** One timed crawl: nDocs-doc synthetic web, broad seed set, fixed
     * superstep budget. Returns (urls scheduled+deduped, seconds).
     * State goes to tmpfs like the shuffle dirs: the measurement isolates
-    * the engine's scaling, not this box's disk. */
+    * the engine's scaling, not this box's disk.
+    *
+    * `corpusOnDisk`: for multi-million-doc corpora the docs table lives as
+    * tmpfs parquet and each superstep SCANS it (the realistic shape — the
+    * corpus is a stored table at any real operating point, and the scan is
+    * partition-parallel work that belongs in the measurement); small sweep
+    * corpora stay memory-cached as before. */
   private def timedCrawl(spark: SparkSession, nDocs: Int, nSeeds: Int,
-                         batches: Int, batchSize: Int): (Long, Double) = {
+                         batches: Int, batchSize: Int,
+                         corpusOnDisk: Boolean = false): (Long, Double) = {
     import spark.implicits._
-    val stateRoot =
-      if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
-      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val stateRoot = tmpRoot
     val stateDir = java.nio.file.Files
       .createTempDirectory(stateRoot, "graft-bench-crawl").toString
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = batchSize,
       maxBatches = batches, nBuckets = 64, saltBuckets = 16, minTokens = 50)
     // corpus materialized BEFORE the clock starts: the metric is frontier
     // throughput, not synthetic-corpus generation speed
-    val docs = Corpus.documents(spark, 42L, nDocs).toDF().persist()
-    docs.count()
+    val docsGen = Corpus.documents(spark, 42L, nDocs).toDF()
+    val docs = if (corpusOnDisk) {
+      val p = s"$stateDir/corpus"
+      docsGen.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    } else {
+      val d = docsGen.persist(); d.count(); d
+    }
     val robots = Corpus.robots(spark).toDF()
     val seeds = spark.range(nSeeds)
       .map(i => Seed(Corpus.urlFor(i, nDocs), 1L)).toDF()
     val res = CrawlLoop.run(spark, docs, robots, seeds, cfg, stateDir,
       seed = 42L, nDocs = nDocs)
-    docs.unpersist()
+    if (!corpusOnDisk) docs.unpersist()
     // steady-state crawl time: per-superstep elapsed (pop→fetch→parse→merge→
     // filters→checkpoint commit), excluding session/corpus setup
     val sec = res.batches.map(_.elapsedMs).sum / 1e3

@@ -45,52 +45,55 @@ object Frontier {
     *   - popped entries NEVER lose their flag, so re-discovered URLs are
     *     never re-fetched (SURVEY §7.4 risk 2).
     *
-    * Shape: raw links hash-aggregate per url (map-side partial — the only
-    * shuffle of the link stream), then a full-outer join with the
-    * url-unique frontier, then a BROADCAST left join of the pop markers
-    * (bounded ≤ batchSize by the politeness budget, and always a subset of
-    * the frontier's urls since they were popped from it). Compared to a
-    * union+groupBy formulation this shuffles each row once instead of
-    * re-shuffling the unioned set — a third less shuffle volume per
-    * superstep, and with bucketed storage the two join sides co-partition.
+    * Shape: pop markers LEFT-join onto the url-unique frontier side FIRST
+    * (same join key, so the marker join rides the exchange the outer join
+    * needs anyway), raw links hash-aggregate per url (map-side partial —
+    * the only shuffle of the link stream), then ONE full-outer join.
+    * Exactly three exchanges, none of them over the merged output: joining
+    * the markers AFTER the outer join would re-shuffle the whole merged
+    * slice per superstep, because the outer join's coalesce(url, url)
+    * output key erases the child partitioning (plan-pinned in PlanSpec).
+    * No forced broadcast anywhere: a politeness window can be hundreds of
+    * thousands of urls, and building a broadcast relation is driver-serial
+    * — size-based selection (AQE) broadcasts only when actually small.
     *
     * The returned frame carries `was_existing` / `was_incoming` flags so
     * the caller derives the duplicate-hit / fresh-URL metrics
     * (src/monitor.rs:57-59) from the same pass — no extra join.
     *
     * PRECONDITION: every url in `poppedUrls` must already exist in
-    * `frontier` ∪ `links`. The pop-marker side is a LEFT join, so a marker
-    * for an unknown url is silently dropped (no tombstone row is created).
-    * This holds by construction in the crawl loop — pop batches are drawn
-    * from the frontier — but callers feeding external pop markers must
-    * pre-union them into `frontier` first.
+    * `frontier`. Markers join the frontier side only, so a marker for an
+    * unknown url is silently dropped (no tombstone row is created). This
+    * holds by construction in the crawl loop — pop batches are drawn from
+    * the frontier — but callers feeding external pop markers must pre-union
+    * them into `frontier` first.
     */
   def merge(frontier: DataFrame, links: DataFrame, poppedUrls: DataFrame,
             cfg: CrawlConfig): DataFrame = {
+    val popMarkers = poppedUrls.select(col("url")).distinct()
+      .withColumn("mark_popped", lit(true))
     val existing = frontier.select(
       col("url"), col("host").as("f_host"), col("priority").as("f_priority"),
       col("popped").as("f_popped"), lit(1).as("src_existing"))
+      .join(popMarkers, Seq("url"), "left")
+      .select(col("url"), col("f_host"), col("f_priority"),
+        (col("f_popped") || coalesce(col("mark_popped"), lit(false)))
+          .as("f_popped"),
+        col("src_existing"))
     val incoming = links
       .groupBy(col("url"))
       .agg(sum(col("weight")).cast("long").as("l_weight"),
         max(col("host")).as("l_host"),
         count(lit(1)).as("l_n"))
       .withColumn("src_incoming", lit(1))
-    // no forced broadcast: a politeness window can be hundreds of thousands
-    // of urls, and building that relation is driver-serial — size-based
-    // join selection (AQE) broadcasts it only when actually small
-    val popMarkers = poppedUrls.select(col("url")).distinct()
-      .withColumn("mark_popped", lit(true))
     existing
       .join(incoming, Seq("url"), "full")
-      .join(popMarkers, Seq("url"), "left")
       .select(
         col("url"),
         coalesce(col("f_host"), col("l_host")).as("host"),
         (coalesce(col("f_priority"), lit(0L)) + coalesce(col("l_weight"), lit(0L)))
           .as("priority"),
-        (coalesce(col("f_popped"), lit(false)) ||
-          coalesce(col("mark_popped"), lit(false))).as("popped"),
+        coalesce(col("f_popped"), lit(false)).as("popped"),
         coalesce(col("src_existing"), lit(0)).as("was_existing"),
         coalesce(col("src_incoming"), lit(0)).as("was_incoming"),
         // raw incoming-link count per url: lets the caller derive the

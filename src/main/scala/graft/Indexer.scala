@@ -46,7 +46,7 @@ object Indexer {
     */
   def index(okHtml: DataFrame, cfg: CrawlConfig, epoch: Int): (DataFrame, DataFrame) = {
     val withTerms = okHtml
-      .withColumn("html", Parser.htmlCol(col("spans")))
+      .withColumn("html", Parser.cappedHtmlCol(col("spans"), cfg.maxDocumentLen))
       .select(col("url"), Parser.termsCol(col("html")).as("terms"))
       .withColumn("n_terms", size(col("terms")).cast("long"))
       .filter(col("n_terms") >= cfg.minTokens) // F8 min-token gate

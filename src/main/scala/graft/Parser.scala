@@ -31,6 +31,17 @@ object Parser {
   def htmlOf(spans: Seq[Span]): String =
     spans.filter(_.kind == "text").sortBy(_.offset).map(_.text).mkString
 
+  /** S3 capped body (reference src/client.rs:63-75, config.rs:42): the
+    * reference reads at most max_document_len BYTES of the response and
+    * parses the truncated body. The deterministic re-expression truncates
+    * the assembled html to maxDocumentLen CHARACTERS (the chunk-boundary
+    * drop of the streaming read is network-dependent, so char truncation is
+    * the declared substitution; the corpus is ASCII, chars == bytes). */
+  def cappedHtmlOf(spans: Seq[Span], maxDocumentLen: Int): String = {
+    val h = htmlOf(spans)
+    if (h.length > maxDocumentLen) h.substring(0, maxDocumentLen) else h
+  }
+
   /** The full add_links admission pipeline (reference src/main.rs:216-254),
     * in the reference's exact order:
     *  1. no base domain → no links
@@ -100,6 +111,12 @@ object Parser {
     array_join(transform(sorted, s => s.getField("text")), "")
   }
 
+  /** Catalyst twin of [[cappedHtmlOf]] — S3's capped body read as a
+    * substring over the assembled html (codegen'd, no copy when under the
+    * cap is not guaranteed, but the cap only triggers on oversized docs). */
+  def cappedHtmlCol(spans: Column, maxDocumentLen: Int): Column =
+    substring(htmlCol(spans), 1, maxDocumentLen)
+
   /** Link extraction as a single-pass UDF returning array<struct<url,weight>>.
     *
     * Deliberately ONE UDF rather than explode+per-link UDFs: the trap rule is
@@ -114,9 +131,11 @@ object Parser {
       extractLinks(base, html, maxUrlLen, bonus, academicOnly)
         .map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) })
 
-  /** fetched docs (url, spans) → admitted links (url, host, weight). */
+  /** fetched docs (url, spans) → admitted links (url, host, weight).
+    * The body is capped at cfg.maxDocumentLen before extraction (S3). */
   def linksOf(fetched: DataFrame, cfg: CrawlConfig): DataFrame = {
-    val withHtml = fetched.withColumn("html", htmlCol(col("spans")))
+    val withHtml = fetched.withColumn("html",
+      cappedHtmlCol(col("spans"), cfg.maxDocumentLen))
     withHtml
       .select(explode(linkUdf(cfg.maxUrlLen, cfg.crossDomainBonus,
         cfg.academicOnly)(col("url"), col("html"))).as("l"))

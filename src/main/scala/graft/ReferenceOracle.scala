@@ -73,6 +73,7 @@ object ReferenceOracle {
         var fetched = 0L
         var robotsDenied = 0L
         var fetchErrors = 0L
+        var megasites = 0L
         val linkIncs = mutable.ArrayBuffer.empty[(String, Long)]
         pop.foreach { case (url, _, _) =>
           if (!Robots.allowed(url, rules)) robotsDenied += 1
@@ -82,7 +83,11 @@ object ReferenceOracle {
               if (d.status >= 200 && d.status < 300 &&
                 d.content_type.startsWith("text/html")) {
                 fetched += 1
-                val html = Parser.htmlOf(d.spans)
+                // F9: megasite check runs on the UNCAPPED body size (the
+                // reference inspects content_length before the capped read)
+                if (Parser.htmlOf(d.spans).length.toLong > cfg.megasiteLen)
+                  megasites += 1
+                val html = Parser.cappedHtmlOf(d.spans, cfg.maxDocumentLen)
                 linkIncs ++= Parser.extractLinks(url, html, cfg.maxUrlLen, cfg.crossDomainBonus)
               }
             // non-2xx / non-html: skipped (matched but not indexed/parsed)
@@ -107,7 +112,8 @@ object ReferenceOracle {
           fetched = fetched, fetchErrors = fetchErrors,
           linksExtracted = linkIncs.size.toLong, linksAdmitted = linkIncs.size.toLong,
           duplicateHits = dups, freshUrls = fresh,
-          frontierSize = frontier.size.toLong, elapsedMs = 0L)
+          frontierSize = frontier.size.toLong, megasites = megasites,
+          elapsedMs = 0L)
         batch += 1
       }
     }

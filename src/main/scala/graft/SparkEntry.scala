@@ -8,13 +8,12 @@ import graft.ops.MultiModal
   *
   * `queries` = one entry per implemented operator (SURVEY §2 + the
   * training-data pipeline ops); every SQL-expressible one has a DuckDB twin
-  * in `oracleSql` (the driver's correctness gate). The remaining entries
-  * (full crawl superstep, sketch-filter membership, multimodal decode) are
-  * registered without oracle SQL — rows-only checks — because their
-  * semantics (Java URI resolution, cuckoo filters, the stub codec) are not
-  * expressible in ANSI SQL; each is instead verified by ScalaTest against
-  * the sequential reference oracle (CrawlEngineSpec), and the superstep's
-  * SQL-expressible tail is oracle-checked as q41_superstep_tail.
+  * in `oracleSql` (the driver's correctness gate). The two remaining
+  * rows-only entries (full crawl superstep q33, sketch-filter membership
+  * q35) have no ANSI-SQL equivalent — Java URI resolution and cuckoo-filter
+  * internals are not expressible — and are instead verified by ScalaTest
+  * against the sequential reference oracle (CrawlEngineSpec); the
+  * superstep's SQL-expressible tail is oracle-checked as q41_superstep_tail.
   */
 object SparkEntry {
 
@@ -56,8 +55,17 @@ object SparkEntry {
       seenish.groupBy(col("bucket")).agg(count(lit(1)).as("n_seenish"))
         .join(fresh.groupBy(col("bucket")).agg(count(lit(1)).as("n_fresh")),
           Seq("bucket"), "full")
-    }),
+    }))
 
+  /** Multimodal decode queries. The stub codec's byte fold
+    * (acc*31 + byte over UTF-8 payload bytes, ops/MultiModal.scala) IS
+    * ANSI-expressible, so these get full DuckDB oracles: the SQL replays
+    * the fold with HUGEINT modular arithmetic over the text's code points
+    * (the synthetic corpus is pure ASCII, so code points == UTF-8 bytes —
+    * asserted cheaply by the oracle itself: octet_length(encode(text)) would
+    * differ from length(text) otherwise and the width/height values would
+    * mismatch loudly). */
+  private def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // multimodal decode + feature extraction (stub codec, real plumbing)
     "q36_media_features" -> ((s, d) => {
       val assets = MultiModal.assetsFromText(
@@ -74,12 +82,37 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
     }))
 
+  /** DuckDB twins of the stub-codec fold: h = (fold of acc*31+byte mod 2^64
+    * from 1125899906842597) masked to 63 bits; dims/frames/luma are shifted
+    * slices of h (floor-div == >> for non-negative HUGEINT). */
+  private val sqlStubHashCte: String =
+    "f AS (SELECT doc_id, " +
+      "(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind, " +
+      "list_reduce(list_prepend(1125899906842597::HUGEINT, " +
+      "list_transform(string_split_regex(text, ''), c -> unicode(c)::HUGEINT)), " +
+      "(acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) " +
+      "% 9223372036854775808::HUGEINT AS h FROM documents)"
+
+  private def mediaOracleSql: Map[String, String] = Map(
+    "q36_media_features" ->
+      (s"WITH $sqlStubHashCte " +
+        "SELECT doc_id, kind, CAST(16 + h % 1024 AS INT) AS width, " +
+        "CAST(16 + (h // 1024) % 1024 AS INT) AS height, " +
+        "CAST(CASE kind WHEN 'video' THEN 1 + (h // 1048576) % 300 " +
+        "WHEN 'audio' THEN 1 + (h // 1048576) % 48000 ELSE 1 END AS INT) AS n_frames, " +
+        "CAST((h // 4294967296) % 1000000 AS BIGINT) AS mean_luma_micro FROM f"),
+
+    "q37_frame_sample" ->
+      (s"WITH $sqlStubHashCte " +
+        "SELECT doc_id, CAST(((1 + (h // 1048576) % 300) - 1) // 30 + 1 AS BIGINT) AS n_sampled " +
+        "FROM f WHERE kind = 'video'"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCrawl.queries ++ QueriesData.queries ++ rowsOnlyQueries
+    QueriesCrawl.queries ++ QueriesData.queries ++ mediaQueries ++ rowsOnlyQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the rows-only entries. */
   def oracleSql: Map[String, String] =
-    QueriesCrawl.oracleSql ++ QueriesData.oracleSql
+    QueriesCrawl.oracleSql ++ QueriesData.oracleSql ++ mediaOracleSql
 }

@@ -67,7 +67,11 @@ final case class BatchMetrics(
     duplicateHits: Long,
     freshUrls: Long,
     frontierSize: Long,
-    elapsedMs: Long)
+    // F9 megasite log filter analog (src/main.rs:189-193): fetched html
+    // docs whose UNCAPPED body exceeds megasiteLen (the reference only
+    // logs these; default 0 so old manifests deserialize cleanly)
+    megasites: Long = 0L,
+    elapsedMs: Long = 0L)
 
 /** One bucket's serialized seen-filters (a row of the filter-delta table). */
 final case class FilterShard(bucket: Int, bloom: Array[Byte], cuckoo: Array[Byte])
@@ -87,7 +91,8 @@ final case class CrawlConfig(
     batchSize: Int = 1000,          // pop budget per superstep
     perHostCap: Int = 8,            // politeness: max fetches per host per batch
     maxUrlLen: Int = 250,           // src/config.rs:44
-    maxDocumentLen: Int = 256000,   // src/config.rs:42
+    maxDocumentLen: Int = 256000,   // src/config.rs:42 (S3 capped body read)
+    megasiteLen: Long = 100000000L, // F9 log threshold (src/main.rs:190)
     minTokens: Int = 200,           // src/config.rs:72 (min_n_tokens)
     crossDomainBonus: Long = 1L,    // src/config.rs:74
     nBuckets: Int = 64,             // frontier hash shards (src/config.rs:71 n_pqueues)

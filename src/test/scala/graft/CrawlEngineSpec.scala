@@ -228,6 +228,51 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("S3 capped body: links beyond maxDocumentLen are dropped, Spark == pure function") {
+    import spark.implicits._
+    val body = "<body><p>" + ("pad " * 200) + // ~800 chars of padding
+      "</p><a href='https://h1.example/late'>go</a></body>"
+    val doc = Doc("https://h0.example/big", Seq(Span("text", body, "", 0)),
+      200, "text/html")
+    val cap = 600
+    // pure function: the late link is truncated away
+    assert(Parser.cappedHtmlOf(doc.spans, cap).length == cap)
+    assert(Parser.extractLinks(doc.doc_id, Parser.cappedHtmlOf(doc.spans, cap),
+      250, 1L).isEmpty)
+    assert(Parser.extractLinks(doc.doc_id, Parser.htmlOf(doc.spans),
+      250, 1L).nonEmpty, "uncapped fixture must contain the link")
+    // Spark twin: linksOf applies the same cap
+    val df = Seq(doc).toDS().toDF().withColumnRenamed("doc_id", "url")
+    assert(Parser.linksOf(df, CrawlConfig(maxDocumentLen = cap)).count() == 0)
+    assert(Parser.linksOf(df, CrawlConfig()).count() == 1)
+    // and the Catalyst capped html equals the pure one
+    val got = df.select(Parser.cappedHtmlCol(col("spans"), cap)).first().getString(0)
+    assert(got == Parser.cappedHtmlOf(doc.spans, cap))
+  }
+
+  test("S3+F9 golden: engine matches oracle under tight body cap and megasite threshold") {
+    val capCfg = cfg.copy(maxDocumentLen = 600, megasiteLen = 500L)
+    val dir = tmpDir("capped")
+    val res = runEngine(dir, capCfg)
+    val o = ReferenceOracle.run(docsLocal, Corpus.robotsEntries,
+      Corpus.seeds(nDocs), capCfg)
+    assert(res.batches.size == o.metrics.size)
+    res.batches.zip(o.metrics).foreach { case (e, om) =>
+      assert(e.copy(elapsedMs = 0) == om.copy(elapsedMs = 0),
+        s"metrics batch ${om.batch}")
+    }
+    assert(o.metrics.map(_.megasites).sum > 0, "fixture must flag megasites")
+    // the cap bites: strictly fewer links than the uncapped golden run
+    assert(o.metrics.map(_.linksExtracted).sum <
+      oracle.metrics.map(_.linksExtracted).sum)
+    val m = Snapshots.readCurrent(dir).get
+    val engineFrontier = Snapshots.readFrontier(spark, m.bucketPaths)
+      .select("url", "host", "priority", "popped").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(engineFrontier == o.frontier)
+  }
+
   test("robots: blocked host is never fetched but still popped") {
     val dir = tmpDir("robots")
     val res = runEngine(dir)
