@@ -28,6 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++
+  // GC experiment knob (bench): e.g. SPARK_GRAFT_GC=Parallel / G1 / Z
+  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
   // Cap the JVM's view of the machine (GC/JIT/common-pool threads) so a
   // local[N] run really behaves like an N-core node. For SINGLE-LEVEL
   // experiments only (e.g. one runMain at one parallelism): graft.Bench

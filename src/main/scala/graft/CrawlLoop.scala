@@ -221,15 +221,22 @@ object CrawlLoop {
           .observe(obsAllowed, count(lit(1)).as("allowed"))
         val isOkHtml = col("status") >= 200 && col("status") < 300 &&
           col("content_type").startsWith("text/html")
-        val fetchedAll = Fetcher.fetch(allowed, documents)
-          .observe(obsFetch, count(lit(1)).as("matched"),
-            count(when(isOkHtml, 1)).as("fetched"),
-            // F9 megasite log filter (src/main.rs:189-193): the reference
-            // only LOGS oversized responses; the metrics column is its
-            // observable analog (uncapped body size vs content_length)
-            count(when(isOkHtml && bodyBytesCol > cfg.megasiteLen, 1))
-              .as("megasites"))
-          .persist()
+        val fetchedAll = {
+          val f = Fetcher.fetch(allowed, documents)
+            .observe(obsFetch, count(lit(1)).as("matched"),
+              count(when(isOkHtml, 1)).as("fetched"),
+              // F9 megasite log filter (src/main.rs:189-193): the reference
+              // only LOGS oversized responses; the metrics column is its
+              // observable analog (uncapped body size vs content_length)
+              count(when(isOkHtml && bodyBytesCol > cfg.megasiteLen, 1))
+                .as("megasites"))
+          // Cache ONLY when a second consumer exists (the index epoch): the
+          // normal path consumes the fetched docs exactly once (the link
+          // pass), and building a columnar cache of every span string per
+          // superstep is a full extra pass over the corpus slice — measured
+          // as a third of the parse phase at multi-million-doc supersteps.
+          if (cfg.indexWhileCrawling) f.persist() else f
+        }
         val ok = Fetcher.okHtml(fetchedAll)
 
         // optional live indexing (reference indexes while crawling,
@@ -378,7 +385,9 @@ object CrawlLoop {
           perBucketRows = perBucket, metrics = Some(m),
           seed = seed, nDocs = nDocs))
 
-        pop.unpersist(); fetchedAll.unpersist(); links.unpersist(); merged.unpersist()
+        pop.unpersist()
+        if (cfg.indexWhileCrawling) fetchedAll.unpersist()
+        links.unpersist(); merged.unpersist()
         frontier = readFrontier(spark, bucketPaths)
         batch += 1
       }

@@ -57,29 +57,37 @@ object Parser {
   def extractLinks(baseUrl: String, html: String, maxUrlLen: Int,
                    crossDomainBonus: Long,
                    academicOnly: Boolean = false): Seq[(String, Long)] = {
-    val baseHost = UrlOps.host(baseUrl).getOrElse(return Seq.empty)
+    // Hot path: the base URI parses ONCE per page and each href resolves to
+    // ONE java.net.URI object that every downstream check (trap, host,
+    // canonicalize) reads component-wise — the string-per-stage form
+    // re-parsed each link ~5x, which at 10^7 links/superstep made URI
+    // construction the parse stage's dominant CPU+GC cost. Semantics are
+    // unchanged (the *Uri twins share the string functions' logic; pinned
+    // by UrlOpsSpec, the golden replay and the q05/q41 DuckDB oracles).
+    val baseUri = scala.util.Try(new java.net.URI(baseUrl)).getOrElse(return Seq.empty)
+    val baseHost = UrlOps.hostUri(baseUri).getOrElse(return Seq.empty)
     val baseRoot = UrlOps.domainRoot(baseHost)
     val resolvedAll = linkPat.findAllIn(html)
       .map(m => m.substring(6, m.length - 1))
-      .flatMap(href => UrlOps.resolve(baseUrl, href))
+      .flatMap(href => UrlOps.resolveUri(baseUri, href))
       .toSeq
     // F11 (config-off default): the reference's old gen filters to academic
     // domains right at link collection, before anything else
     // (src/main-old.rs:180)
     val resolved =
-      if (academicOnly) resolvedAll.filter(u => UrlOps.host(u).exists(UrlOps.isAcademic))
+      if (academicOnly) resolvedAll.filter(u => UrlOps.hostUri(u).exists(UrlOps.isAcademic))
       else resolvedAll
-    if (resolved.flatMap(UrlOps.looksLikeATrap).exists(identity)) return Seq.empty
+    if (resolved.flatMap(UrlOps.looksLikeATrapUri).exists(identity)) return Seq.empty
     resolved
       .map { link =>
-        val cross = UrlOps.host(link) match {
+        val cross = UrlOps.hostUri(link) match {
           case Some(h) => UrlOps.domainRoot(h) != baseRoot
           case None => false
         }
         (link, cross)
       }
       .flatMap { case (link, cross) =>
-        UrlOps.canonicalize(link).map(c => (c, cross))
+        UrlOps.canonicalizeUri(link).map(c => (c, cross))
       }
       .filter { case (u, _) => !UrlOps.clearlyNotHtml(u) }
       .filter { case (u, _) => u.length <= maxUrlLen }
@@ -117,7 +125,8 @@ object Parser {
   def cappedHtmlCol(spans: Column, maxDocumentLen: Int): Column =
     substring(htmlCol(spans), 1, maxDocumentLen)
 
-  /** Link extraction as a single-pass UDF returning array<struct<url,weight>>.
+  /** Link extraction as a single-pass UDF over (url, spans) returning
+    * array<struct<url,host,weight>>.
     *
     * Deliberately ONE UDF rather than explode+per-link UDFs: the trap rule is
     * a page-level ANY-aggregate over links (src/main.rs:228-230), which as
@@ -125,22 +134,33 @@ object Parser {
     * admission filtering. Doing the whole per-page pipeline in one pass keeps
     * link extraction narrow (no shuffle until the frontier merge) — at 100 TB
     * that removes an entire shuffle stage of pre-admission links.
-    */
-  private def linkUdf(maxUrlLen: Int, bonus: Long, academicOnly: Boolean) =
-    udf((base: String, html: String) =>
+    *
+    * Span assembly happens INSIDE the UDF (shared [[cappedHtmlOf]], so the
+    * semantics — sort by offset, text spans only, S3 cap — are the golden
+    * oracle's, bit-identical): the Catalyst alternative evaluates the
+    * array_sort comparator lambda INTERPRETED per row (higher-order
+    * functions get no codegen) and materializes the full html as an
+    * intermediate column — measured as a large, poorly-amortized slice of
+    * the parse phase at multi-million-doc supersteps. */
+  private def linkSpanUdf(maxDocumentLen: Int, maxUrlLen: Int, bonus: Long,
+                          academicOnly: Boolean) =
+    udf((base: String, spans: Seq[org.apache.spark.sql.Row]) => {
+      // spans struct field order is the Span case-class order:
+      // (kind, text, media_ref, offset)
+      val ss = spans.map(r => Span(r.getString(0), r.getString(1),
+        r.getString(2), r.getInt(3)))
+      val html = cappedHtmlOf(ss, maxDocumentLen)
       extractLinks(base, html, maxUrlLen, bonus, academicOnly)
-        .map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) })
+        .map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) }
+    })
 
   /** fetched docs (url, spans) → admitted links (url, host, weight).
     * The body is capped at cfg.maxDocumentLen before extraction (S3). */
-  def linksOf(fetched: DataFrame, cfg: CrawlConfig): DataFrame = {
-    val withHtml = fetched.withColumn("html",
-      cappedHtmlCol(col("spans"), cfg.maxDocumentLen))
-    withHtml
-      .select(explode(linkUdf(cfg.maxUrlLen, cfg.crossDomainBonus,
-        cfg.academicOnly)(col("url"), col("html"))).as("l"))
+  def linksOf(fetched: DataFrame, cfg: CrawlConfig): DataFrame =
+    fetched
+      .select(explode(linkSpanUdf(cfg.maxDocumentLen, cfg.maxUrlLen,
+        cfg.crossDomainBonus, cfg.academicOnly)(col("url"), col("spans"))).as("l"))
       .select(col("l.url").as("url"), col("l.host").as("host"), col("l.weight").as("weight"))
-  }
 
   /** Term extraction as pure Catalyst nested regexp extraction (codegen'd,
     * no UDF on the token hot path): sections → tag texts → terms. */

@@ -71,25 +71,47 @@ object UrlOps {
       if (r.isAbsolute) Some(r.toString) else None
     }.toOption.flatten
 
+  /** [[resolve]] against a pre-parsed base, returning the URI object — the
+    * hot-path form: link extraction calls this once per href and then reads
+    * host/path/components off the SAME object instead of re-parsing the
+    * string once per downstream check (~5 URI parses per link otherwise —
+    * at 10^7 links/superstep that is the parse stage's dominant allocation).
+    * Semantics identical to [[resolve]]: URI.resolve + isAbsolute gate. */
+  def resolveUri(base: URI, href: String): Option[URI] =
+    Try(base.resolve(href.trim)).toOption.filter(_.isAbsolute)
+
+  /** [[looksLikeATrap]] over a parsed URI (same rule, no re-parse). */
+  def looksLikeATrapUri(u: URI): Option[Boolean] =
+    Option(u.getPath).map { path =>
+      val segs = pathSegments(path)
+      segs.groupBy(identity).values.map(_.size - 1).sum >= 2
+    }
+
+  /** [[host]] over a parsed URI. */
+  def hostUri(u: URI): Option[String] = Option(u.getHost).map(_.toLowerCase)
+
+  /** [[canonicalize]] over a parsed URI (identical component logic; the
+    * string form just parses first). */
+  def canonicalizeUri(u: URI): Option[String] = {
+    val scheme = Option(u.getScheme).map(_.toLowerCase).orNull
+    val h = Option(u.getHost).map(_.toLowerCase).orNull
+    if (scheme == null || h == null) None
+    else {
+      val port = u.getPort
+      val keepPort =
+        if ((scheme == "http" && port == 80) || (scheme == "https" && port == 443)) -1
+        else port
+      val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      val portStr = if (keepPort == -1) "" else s":$keepPort"
+      Some(s"$scheme://$h$portStr$p")
+    }
+  }
+
   /** Canonicalize: strip fragment and query (reference: set_fragment(None);
     * set_query(None), src/main.rs:240-243), lowercase scheme+host, drop
     * default ports, '' path → '/' (the url crate's normalizations). */
   def canonicalize(url: String): Option[String] =
-    Try {
-      val u = new URI(url)
-      val scheme = Option(u.getScheme).map(_.toLowerCase).orNull
-      val h = Option(u.getHost).map(_.toLowerCase).orNull
-      if (scheme == null || h == null) None
-      else {
-        val port = u.getPort
-        val keepPort =
-          if ((scheme == "http" && port == 80) || (scheme == "https" && port == 443)) -1
-          else port
-        val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
-        val portStr = if (keepPort == -1) "" else s":$keepPort"
-        Some(s"$scheme://$h$portStr$p")
-      }
-    }.toOption.flatten
+    Try(new URI(url)).toOption.flatMap(canonicalizeUri)
 
   /** Valid-URI admission check (reference: url.parse::<Uri>().is_ok(),
     * src/main.rs:247). */
