@@ -28,8 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++
-  // GC experiment knob (bench): e.g. SPARK_GRAFT_GC=Parallel / G1 / Z
-  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
+  // GC experiment knob (bench): e.g. SPARK_GRAFT_GC=Parallel / Z. Measured:
+  // ParallelGC scales the no-Spark parse control better (0.93 vs 0.82) but
+  // thrashes the Spark crawl at higher parallelism (6-8 s GC/crawl vs 0.5 s
+  // under G1 — full-heap collections against the block-manager cache), so
+  // the default stays G1.
+  sys.env.get("SPARK_GRAFT_GC").map(_.trim).filter(_.nonEmpty)
+    .map(g => s"-XX:+Use${g}GC").toSeq ++
   // Cap the JVM's view of the machine (GC/JIT/common-pool threads) so a
   // local[N] run really behaves like an N-core node. For SINGLE-LEVEL
   // experiments only (e.g. one runMain at one parallelism): graft.Bench

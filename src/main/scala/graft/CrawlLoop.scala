@@ -144,7 +144,8 @@ object CrawlLoop {
         }
         if (m.phase == "pop") {
           batch = m.batch
-          pendingPop = Some(spark.read.parquet(m.popBatchPath))
+          pendingPop = Some(
+            spark.read.schema(Snapshots.popSchema).parquet(m.popBatchPath))
         } else {
           batch = m.batch + 1
         }
@@ -196,7 +197,9 @@ object CrawlLoop {
             .observe(obs, count(lit(1)).as("popped"),
               collect_set(col("bucket")).as("buckets"))
             .write.mode(SaveMode.Overwrite).parquet(popBatchPath(stateDir, batch))
-          val committed = spark.read.parquet(popBatchPath(stateDir, batch))
+          // explicit schema: skips the per-superstep footer-inference read
+          val committed = spark.read.schema(Snapshots.popSchema)
+            .parquet(popBatchPath(stateDir, batch))
           Snapshots.commit(stateDir, Manifest(
             batch, "pop",
             frontierPath = "",
@@ -308,16 +311,29 @@ object CrawlLoop {
           Frontier.merge(frontierSlice, links, pop, cfg)
         }).persist()
 
-        // per-bucket lineage + all link/dup metrics from ONE pass over the
-        // merged slice (n_links carries the raw link count — no separate
-        // count job over the link stream)
-        val byBucket = timed("merge", batch) { merged.groupBy(col("bucket")).agg(
+        // per-bucket lineage + all link/dup metrics + (when maintained) the
+        // seen-filter delta blobs from ONE pass over the merged slice: the
+        // filter aggregators ride the SAME groupBy(bucket) shuffle the
+        // metrics need (null-tolerant reduce skips non-fresh rows), so the
+        // old separate buildFilters job over the merged cache disappears.
+        // n_links carries the raw link count — no separate count job over
+        // the link stream either.
+        val metricAggs = Seq(
           count(lit(1)).as("rows"),
           sum(when(col("was_existing") === 1 && col("was_incoming") === 1, 1L)
             .otherwise(0L)).as("dups"),
           sum(when(col("was_existing") === 0 && col("was_incoming") === 1, 1L)
             .otherwise(0L)).as("fresh"),
-          sum(col("n_links")).as("nlinks")).collect() }
+          sum(col("n_links")).as("nlinks"))
+        val filterAggs = if (!maintainFilters) Seq.empty else {
+          val freshUrl = when(col("was_existing") === 0, col("url"))
+          val bloomUdaf = udaf(new SeenSet.BloomAggregator(0.03))
+          val cuckooUdaf = udaf(new SeenSet.CuckooAggregator)
+          Seq(bloomUdaf(freshUrl).as("bloom"), cuckooUdaf(freshUrl).as("cuckoo"))
+        }
+        val byBucket = timed("merge", batch) { merged.groupBy(col("bucket"))
+          .agg((metricAggs ++ filterAggs).head, (metricAggs ++ filterAggs).tail: _*)
+          .collect() }
         val duplicateHits = byBucket.map(_.getLong(2)).sum
         val freshUrls = byBucket.map(_.getLong(3)).sum
         val linksAdmitted = byBucket.map(_.getLong(4)).sum
@@ -338,17 +354,18 @@ object CrawlLoop {
           byBucket.map(r => r.getInt(0).toString -> fPath).toMap
 
         // ---- phase 4: seen-filter DELTA (bloom + cuckoo) ----
-        // Append-only: build filters for just THIS batch's fresh urls, fold
-        // them into the driver map, and write the delta for durability —
-        // the steady state never re-reads or re-merges the accumulated
-        // filters. Every CompactEvery supersteps the deltas fold into one
-        // dir (and one filter per bucket in the map).
+        // Append-only: this batch's per-bucket filter blobs were already
+        // computed by the merge-slice aggregation above (over the fresh
+        // urls only); here they are persisted for durability and folded
+        // into the book — the steady state never re-reads or re-merges the
+        // accumulated filters. Every CompactEvery supersteps the deltas
+        // fold into one dir (and one filter per bucket in the map).
         if (maintainFilters) timed("filters", batch) {
           val newFiltersPath = Snapshots.filtersPath(stateDir, batch)
-          val freshUrlsDf = merged
-            .filter(col("was_existing") === 0)
-            .select(col("url"), col("bucket"))
-          val shards = collectShards(SeenSet.buildFilters(freshUrlsDf))
+          val shards = byBucket
+            .filter(r => r.getAs[Long]("fresh") > 0)
+            .map(r => FilterShard(r.getAs[Int]("bucket"),
+              r.getAs[Array[Byte]]("bloom"), r.getAs[Array[Byte]]("cuckoo")))
           writeShards(spark, shards, newFiltersPath)
           filtersPaths = filtersPaths :+ newFiltersPath
           book = SeenSet.appendDelta(spark, book, bloomDeltaOf(shards))

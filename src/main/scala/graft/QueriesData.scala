@@ -117,8 +117,10 @@ object QueriesData {
     "q27_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(tbl(s, d, "embeddings"), planes = 8)),
 
+    // 4-table OR-amplified LSH (multi-table recall fix): candidates meet
+    // if they share ANY table's 6-bit signature
     "q28_lsh_ann_topk" -> ((s, d) =>
-      Similarity.lshTopK(tbl(s, d, "embeddings"), planes = 6, k = 3)
+      Similarity.lshTopK(tbl(s, d, "embeddings"), planes = 6, k = 3, tables = 4)
         .select(col("vec_id"), col("nn_id"), col("rank").cast("long").as("rank"), col("sim"))),
 
     "q29_embed_near_dups" -> ((s, d) =>
@@ -129,6 +131,18 @@ object QueriesData {
       val e = tbl(s, d, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 40), e,
           kCells = 16, nprobe = 4, k = 3)
+        .select(col("vec_id"), col("nn_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
+    // IVF over a TRAINED codebook: 2 Lloyd iterations of spherical k-means
+    // (deterministic integer-scaled centroid means), then the same
+    // assignment / probe / per-cell-join plan as q42
+    "q44_kmeans_ivf" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      val cents = Similarity.kmeansCodebook(e, kCells = 16, iters = 2)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 40), e, cents,
+          nprobe = 4, k = 3)
         .select(col("vec_id"), col("nn_id"),
           col("rank").cast("long").as("rank"), col("sim"))
     }),
@@ -302,11 +316,14 @@ object QueriesData {
         "SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id"),
 
     "q28_lsh_ann_topk" ->
-      ("WITH pw AS (SELECT p, d, CAST((((" + sqlHash60("CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
-        "FROM unnest(generate_series(0, 5)) tp(p), unnest(generate_series(0, 63)) td(d)), " +
-        "proj AS (SELECT e.vec_id, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.p), " +
-        "buckets AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id), " +
-        "pairs AS (SELECT qa.vec_id AS vec_id, qb.vec_id AS nn_id, " +
+      // 4 tables x 6 planes: global plane id gp in 0..23, table = gp // 6,
+      // bit = gp % 6; composite bucket = table * 64 + signature; a pair
+      // found in several tables dedups via DISTINCT before ranking
+      ("WITH pw AS (SELECT gp, gp // 6 AS t, gp % 6 AS p, d, CAST((((" + sqlHash60("CAST(gp AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
+        "FROM unnest(generate_series(0, 23)) tp(gp), unnest(generate_series(0, 63)) td(d)), " +
+        "proj AS (SELECT e.vec_id, pw.t, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.t, pw.p), " +
+        "buckets AS (SELECT vec_id, CAST(t * 64 + sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id, t), " +
+        "pairs AS (SELECT DISTINCT qa.vec_id AS vec_id, qb.vec_id AS nn_id, " +
         "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim " +
         "FROM buckets qa JOIN buckets qb ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id " +
@@ -337,6 +354,37 @@ object QueriesData {
         s"probes AS (SELECT q.vec_id AS qid, c.cid AS cell FROM embeddings q, cents c WHERE q.vec_id < 40 " +
         s"QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q", "c")} DESC, c.cid ASC) <= 4), " +
         s"pairs AS (SELECT p.qid AS vec_id, m.vec_id AS nn_id, ${cos("a", "b")} AS sim " +
+        "FROM probes p JOIN asg m ON m.cell = p.cell " +
+        "JOIN embeddings a ON a.vec_id = p.qid JOIN embeddings b ON b.vec_id = m.vec_id " +
+        "WHERE p.qid <> m.vec_id) " +
+        "SELECT vec_id, nn_id, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM pairs QUALIFY rank <= 3")
+    },
+
+    "q44_kmeans_ivf" -> {
+      // generic cosine between two DOUBLE[] expressions
+      def cosE(a: String, b: String): String =
+        s"list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      // one Lloyd iteration: assign to nearest `prev` centroid, then the
+      // integer-scaled elementwise mean (exactly Similarity.kmeansCodebook's
+      // round(x * 2^20) BIGINT sums — order-independent, so both engines
+      // agree bit-for-bit); dim is 64, lists are 1-based
+      def iter(prev: String, asg: String, sums: String, next: String): String =
+        s"$asg AS (SELECT e.vec_id, c.cid AS cell FROM embeddings e, $prev c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosE("e.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) = 1), " +
+          s"$sums AS (SELECT a.cell, t.i AS ord, " +
+          "SUM(CAST(round(e.embedding[t.i]::DOUBLE * 1048576.0) AS BIGINT)) AS s, COUNT(*) AS n " +
+          s"FROM $asg a JOIN embeddings e USING (vec_id), range(1, 65) t(i) GROUP BY a.cell, t.i), " +
+          s"$next AS (SELECT cell AS cid, list(s::DOUBLE / n / 1048576.0 ORDER BY ord) AS emb FROM $sums GROUP BY cell)"
+      ("WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 16), " +
+        iter("c0", "a1", "s1", "c1") + ", " +
+        iter("c1", "a2", "s2", "c2") + ", " +
+        s"asg AS (SELECT e.vec_id, c.cid AS cell FROM embeddings e, c2 c " +
+        s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosE("e.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) = 1), " +
+        s"probes AS (SELECT q.vec_id AS qid, c.cid AS cell FROM embeddings q, c2 c WHERE q.vec_id < 40 " +
+        s"QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosE("q.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) <= 4), " +
+        s"pairs AS (SELECT p.qid AS vec_id, m.vec_id AS nn_id, ${cosE("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim " +
         "FROM probes p JOIN asg m ON m.cell = p.cell " +
         "JOIN embeddings a ON a.vec_id = p.qid JOIN embeddings b ON b.vec_id = m.vec_id " +
         "WHERE p.qid <> m.vec_id) " +

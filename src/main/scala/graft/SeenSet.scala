@@ -189,8 +189,10 @@ object SeenSet {
       extends Aggregator[String, scala.collection.mutable.ArrayBuffer[Long], Array[Byte]] {
     def zero: scala.collection.mutable.ArrayBuffer[Long] =
       scala.collection.mutable.ArrayBuffer.empty
+    // null-tolerant so callers can fuse filter construction into a wider
+    // aggregation via when(cond, url) — null means "not a member url"
     def reduce(b: scala.collection.mutable.ArrayBuffer[Long], url: String) =
-      { b += urlHash(url); b }
+      { if (url != null) b += urlHash(url); b }
     def merge(a: scala.collection.mutable.ArrayBuffer[Long],
               b: scala.collection.mutable.ArrayBuffer[Long]) = { a ++= b; a }
     def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {
@@ -222,7 +224,7 @@ object SeenSet {
     def zero: scala.collection.mutable.ArrayBuffer[Long] =
       scala.collection.mutable.ArrayBuffer.empty
     def reduce(b: scala.collection.mutable.ArrayBuffer[Long], url: String) =
-      { b += urlHash(url); b }
+      { if (url != null) b += urlHash(url); b } // null-tolerant (see cuckoo)
     def merge(a: scala.collection.mutable.ArrayBuffer[Long],
               b: scala.collection.mutable.ArrayBuffer[Long]) = { a ++= b; a }
     def finish(b: scala.collection.mutable.ArrayBuffer[Long]): Array[Byte] = {

@@ -68,6 +68,26 @@ object Snapshots {
     else Some(Serialization.read[Manifest](Files.readString(p)))
   }
 
+  /** The frontier snapshot's fixed schema, declared at read so every
+    * superstep skips parquet schema inference (per-dir footer sampling is
+    * driver-serial latency paid on EVERY pop otherwise). `bucket` is the
+    * partitionBy column. */
+  val frontierSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("url", StringType), StructField("host", StringType),
+      StructField("priority", LongType), StructField("popped", BooleanType),
+      StructField("bucket", IntegerType)))
+  }
+
+  /** Committed pop-batch schema (see [[frontierSchema]] for why declared). */
+  val popSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("url", StringType), StructField("host", StringType),
+      StructField("bucket", IntegerType), StructField("priority", LongType)))
+  }
+
   /** Materialize the frontier from a delta-snapshot bucket map: one
     * partition-pruned parquet scan per distinct batch dir (each dir is
     * partitionBy("bucket"), so the isin filter prunes to exactly the bucket
@@ -81,7 +101,7 @@ object Snapshots {
     if (bucketPaths.isEmpty) return Frontier.empty(spark)
     bucketPaths.groupBy(_._2).map { case (dir, owned) =>
       val bs = owned.keys.map(_.toInt).toSeq
-      spark.read.parquet(dir)
+      spark.read.schema(frontierSchema).parquet(dir)
         .filter(col("bucket").isin(bs: _*))
         .select("url", "host", "bucket", "priority", "popped")
     }.reduce(_.unionByName(_))

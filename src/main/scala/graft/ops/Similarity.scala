@@ -60,11 +60,19 @@ object Similarity {
 
   /** LSH bucket id for each vector: `planes` sign bits packed into a long.
     * Pure Catalyst: explodes (vector × plane), one groupBy(vec_id) —
-    * shuffle carries one long per (vec, plane). */
-  def lshBuckets(vectors: DataFrame, planes: Int): DataFrame = {
+    * shuffle carries one long per (vec, plane).
+    *
+    * With `tables` > 1 (OR-amplification, the classical multi-table LSH
+    * recall fix): `tables` independent plane sets, one signature per
+    * (vector, table), output rows (vec_id, bucket) where bucket packs
+    * (table << planes | signature) — so every downstream per-bucket join
+    * works unchanged on the composite key. Table 0's planes are the same
+    * global plane ids as the single-table form, so multi-table candidate
+    * sets are supersets of single-table ones (test-pinned). */
+  def lshBuckets(vectors: DataFrame, planes: Int, tables: Int = 1): DataFrame = {
     val byPlane = vectors
       .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(planes - 1), lit(1))).as("plane"))
+        explode(sequence(lit(0), lit(tables * planes - 1), lit(1))).as("plane"))
       .withColumn("proj",
         aggregate(
           zip_with(col("embedding"),
@@ -72,9 +80,14 @@ object Similarity {
               d => planeWeight(col("plane"), d)),
             (x, w) => x.cast("double") * w),
           lit(0.0), (acc, x) => acc + x))
+      .withColumn("table", (col("plane") / planes).cast("int"))
       .withColumn("bitval",
-        when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(lit(0L)))
-    byPlane.groupBy(col("vec_id")).agg(sum(col("bitval")).as("bucket"))
+        when(col("proj") > 0,
+          expr(s"shiftleft(CAST(1 AS BIGINT), plane % $planes)")).otherwise(lit(0L)))
+    byPlane.groupBy(col("vec_id"), col("table"))
+      .agg(sum(col("bitval")).as("sig"))
+      .select(col("vec_id"),
+        (col("table").cast("long") * (1L << planes) + col("sig")).as("bucket"))
   }
 
   /** All intra-bucket ordered pairs with BOUNDED task input — the guard
@@ -109,10 +122,14 @@ object Similarity {
     * term collapses by 4^p/… versus brute force; `bucketCap` bounds the
     * degenerate-bucket case (see [[boundedBucketPairs]]). */
   def lshTopK(vectors: DataFrame, planes: Int, k: Int,
-              bucketCap: Int = 4096): DataFrame = {
-    val withBucket = vectors.join(lshBuckets(vectors, planes), "vec_id")
+              bucketCap: Int = 4096, tables: Int = 1): DataFrame = {
+    val withBucket = vectors.join(lshBuckets(vectors, planes, tables), "vec_id")
+    // a pair sharing buckets in several tables appears once per table:
+    // dedup on the compact (qid, cid, sim) triple BEFORE ranking (sims of
+    // duplicate pairs are bit-identical, so distinct is exact)
     boundedBucketPairs(withBucket, bucketCap)
       .withColumn("sim", cosine(col("qe"), col("ce")))
+      .select(col("qid"), col("cid"), col("sim")).distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
       .filter(col("rank") <= k)
@@ -132,21 +149,52 @@ object Similarity {
       .agg(max(struct(col("sim"), (col("cid") * -1).as("ncid"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
 
-  /** IVF-flat ANN: the inverted-file scale path (Sivic-Zisserman 2003 /
-    * FAISS IVF). The corpus is partitioned into `kCells` cells by nearest
-    * centroid; a query ranks the centroids, probes its `nprobe` closest
-    * cells, and computes exact cosine only against those cells' members —
-    * scanning nprobe/kCells of the corpus instead of all of it.
+  /** Lloyd's k-means codebook for IVF, spherical flavor (assignment by
+    * cosine, as [[ivfAssign]]). Init = the first `kCells` corpus vectors;
+    * each iteration reassigns every vector to its nearest centroid and
+    * recomputes each centroid as the elementwise mean of its members.
     *
-    * The codebook here is DETERMINISTIC (the first kCells corpus vectors) so
-    * the driver's DuckDB oracle reproduces the result bit-exactly; a
-    * k-means-trained codebook slots in without changing the assignment /
-    * probe / per-cell-join plan, which is the part that matters at 100 TB.
-    * With nprobe = kCells the result equals exact brute-force top-k
-    * (test-asserted). Output: (vec_id, nn_id, rank, sim). */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
-              nprobe: Int, k: Int): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < kCells)
+    * DETERMINISM AT SCALE: the mean is computed over integer-scaled
+    * components (round(x * 2^20) summed as longs) — integer addition is
+    * order-independent, so the trained codebook is bit-identical however
+    * Spark partitions or reorders the corpus (a double-sum mean would drift
+    * with partitioning), and a SQL twin can replay it exactly. The shuffle
+    * per iteration carries only (cell, pos, partial-sum) after map-side
+    * combine — O(parts * kCells * dim), never the embeddings themselves.
+    * Cells that lose all members keep their previous centroid.
+    * Output: (vec_id = cell id 0..kCells-1, embedding array<double>). */
+  def kmeansCodebook(vectors: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val Scale = 1048576L // 2^20: float components scale exactly in a double
+    var cents = vectors.filter(col("vec_id") < kCells)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    for (_ <- 0 until iters) {
+      val asg = ivfAssign(vectors, cents)
+      val sums = vectors.join(asg, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("v").cast("double") * Scale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+      val trained = sums.groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s").cast("double") / col("n") / Scale).as("v")))),
+          e => e.getField("v")).as("embedding"))
+        .select(col("cell").as("vec_id"), col("embedding"))
+      // keep the old centroid for any cell that lost all members
+      cents = cents.alias("o")
+        .join(trained.alias("t"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("t.embedding"), col("o.embedding")).as("embedding"))
+    }
+    cents
+  }
+
+  /** [[ivfTopK]] against an explicit codebook (e.g. [[kmeansCodebook]]).
+    * Same assignment / probe / per-cell-join plan — the codebook only
+    * changes which vectors share a cell, i.e. recall. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                  nprobe: Int, k: Int): DataFrame = {
     val cells = ivfAssign(corpus, centroids)
     val probes = queries.crossJoin(broadcast(
         centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"))))
@@ -167,6 +215,23 @@ object Similarity {
       .select(col("qid").as("vec_id"), col("nid").as("nn_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
   }
+
+  /** IVF-flat ANN: the inverted-file scale path (Sivic-Zisserman 2003 /
+    * FAISS IVF). The corpus is partitioned into `kCells` cells by nearest
+    * centroid; a query ranks the centroids, probes its `nprobe` closest
+    * cells, and computes exact cosine only against those cells' members —
+    * scanning nprobe/kCells of the corpus instead of all of it.
+    *
+    * The codebook here is DETERMINISTIC (the first kCells corpus vectors) so
+    * the driver's DuckDB oracle reproduces the result bit-exactly; the
+    * [[kmeansCodebook]]-trained variant ([[ivfTopKWith]]) shares the
+    * assignment / probe / per-cell-join plan, which is the part that matters
+    * at 100 TB. With nprobe = kCells the result equals exact brute-force
+    * top-k (test-asserted). Output: (vec_id, nn_id, rank, sim). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
+              nprobe: Int, k: Int): DataFrame =
+    ivfTopKWith(queries, corpus, corpus.filter(col("vec_id") < kCells),
+      nprobe, k)
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     * sim ≥ threshold, id_a < id_b — brute within LSH buckets, degenerate

@@ -196,6 +196,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH: table 0 equals single-table; best sims never drop") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val single = Similarity.lshBuckets(vecs, planes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = Similarity.lshBuckets(vecs, planes = 4, tables = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 3 signatures per vector; table 0 (bucket < 2^4) is bit-identical to
+    // the single-table assignment, so multi-table candidates are supersets
+    assert(multi.length == 150)
+    assert(multi.filter(_._2 < 16).toMap == single)
+    // hence each query's best reported sim can only improve
+    val best1 = Similarity.lshTopK(vecs, planes = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val bestM = Similarity.lshTopK(vecs, planes = 4, k = 1, tables = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    best1.foreach { case (q, s) => assert(bestM(q) >= s - 1e-9) }
+  }
+
   test("IVF ANN: probing ALL cells equals exact brute-force top-k") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
@@ -215,6 +235,36 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3))
     assert(partial.nonEmpty)
     partial.foreach { case (q, sim) => assert(sim <= bruteBest(q) + 1e-9) }
+  }
+
+  test("k-means codebook: deterministic under repartition; full-probe IVF stays exact") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def centMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // iters = 0 is exactly the deterministic first-k init (floats as doubles)
+    val init = centMap(Similarity.kmeansCodebook(vecs, kCells = 4, iters = 0))
+    val raw = vecs.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(init == raw)
+    // integer-scaled centroid sums are order-independent: an adversarial
+    // repartition must yield the bit-identical codebook
+    val trained = centMap(Similarity.kmeansCodebook(vecs, kCells = 4, iters = 2))
+    val shuffled = centMap(Similarity.kmeansCodebook(
+      vecs.repartition(7, col("vec_id")), kCells = 4, iters = 2))
+    assert(trained == shuffled)
+    assert(trained.keySet == Set(0L, 1L, 2L, 3L))
+    assert(trained != init) // training moved at least one centroid
+    // the exactness invariant is codebook-independent: probing ALL cells of
+    // the TRAINED codebook still equals exact brute-force top-k
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val cents = Similarity.kmeansCodebook(vecs, kCells = 4, iters = 2)
+    val full = Similarity.ivfTopKWith(vecs, vecs, cents, nprobe = 4, k = 3)
+      .collect().map(key).toSet
+    val brute = Similarity.bruteTopK(vecs, vecs, k = 3).collect().map(key).toSet
+    assert(full == brute)
   }
 
   test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
