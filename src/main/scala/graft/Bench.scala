@@ -45,6 +45,21 @@ object Bench {
       // atomicity is unaffected — a snapshot dir only becomes live when
       // the manifest pointer renames over MANIFEST.json.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // AQE SMJ->shuffled-hash conversion for the merge's full-outer join
+      // was tried (512m threshold: removes the two per-superstep url-string
+      // sorts) and measured WITHIN THE NOISE BAND at both levels (A/B at
+      // 400 K-doc supersteps: merge 8-12 s @N either way, ~4 s @4N either
+      // way) — the merge phase is dominated by the links hash-aggregate and
+      // the filter-blob aggregation, not the join sort. Default stays off;
+      // the knob remains for re-testing on quieter hardware.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0b"))
+      // Concurrent dynamic-partition writers were tried (70 > nBuckets) and
+      // measured WORSE than the default sort-then-write: the sort they
+      // replace is a cheap int-key radix sort, while 32 interleaved parquet
+      // writers per task thrash page buffers (snapshot 2.5 s -> 3.5 s @N).
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -327,7 +342,12 @@ object Bench {
           // across reps summed — timedKernel's best-of-reps at superstep
           // granularity, which also rejects a neighbor burst that hits only
           // one superstep of one rep.
-          val runs = (1 to 2).map { _ =>
+          // Rep counts mirror the kernel's asymmetry (2@N vs 5@4N): a 4N rep
+          // costs ~1/3 of an N rep, so the cheap level affords one more
+          // sample for the per-superstep minimum; both levels estimate the
+          // same noise-free floor.
+          val nReps = if (p == pLow) 2 else 3
+          val runs = (1 to nReps).map { _ =>
             timedCrawl(s, d, d / b, b, d / b, corpusTable = Some(CorpusTable))
           }
           // STEADY-STATE metric: superstep 0 is the bootstrap (seed pop via
