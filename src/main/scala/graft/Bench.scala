@@ -60,6 +60,8 @@ object Bench {
       // writers per task thrash page buffers (snapshot 2.5 s -> 3.5 s @N).
       .config("spark.sql.maxConcurrentOutputFileWriters",
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
+      // keep the politeness top-k hash-based with many hosts per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -22,6 +22,8 @@ object CrawlDemo {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.adaptive.enabled", "true")
+      // keep the politeness top-k hash-based with many hosts per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

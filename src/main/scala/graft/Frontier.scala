@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** The URL frontier as a typed, hash-bucketed Dataset.
@@ -116,6 +116,45 @@ object Frontier {
   def perBucketBudget(cfg: CrawlConfig): Int =
     math.max(1, (cfg.batchSize + cfg.nBuckets - 1) / cfg.nBuckets)
 
+  /** One pop candidate as carried through the per-host politeness top-k. */
+  final case class PopCand(url: String, bucket: Int, priority: Long)
+
+  /** Bounded top-k accumulator for the per-host politeness window: keeps
+    * the `k` best candidates by (priority desc, url asc), trimming at 2k,
+    * so state and shuffle stay O(k) per (host, map partition) REGARDLESS of
+    * skew — the hot host's millions of candidate rows collapse to ≤ 2k
+    * inside every mapper (map-side partial aggregation), where the window
+    * form had to sort them. Exact: any row in the global per-host top-k is
+    * in the top-k of every subset containing it, so partial tops compose.
+    *
+    * Reference analog: each pqueue pops only its page-max entries
+    * (src/scheduler.rs:139-147) — the politeness cap is tiny (default 8),
+    * which is what makes the bounded buffer the right physical shape.
+    *
+    * NOTE for session tuning: with many hosts per task, raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
+    * 128 groups) so the aggregation stays hash-based; the sort-based
+    * fallback is still correct and still bounds state, it just re-sorts by
+    * the grouping key. */
+  final class HostTopK(k: Int)
+      extends Aggregator[PopCand, scala.collection.mutable.ArrayBuffer[PopCand], Seq[PopCand]] {
+    type Buf = scala.collection.mutable.ArrayBuffer[PopCand]
+    private def better(a: PopCand, b: PopCand): Boolean =
+      a.priority > b.priority || (a.priority == b.priority && a.url < b.url)
+    private def trim(b: Buf): Buf =
+      if (b.length <= k) b
+      else { val top = b.sortWith(better).take(k); b.clear(); b ++= top }
+    def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: Buf, in: PopCand): Buf = {
+      b += in; if (b.length >= 2 * k) trim(b) else b
+    }
+    def merge(a: Buf, b: Buf): Buf = trim(a ++= b)
+    def finish(b: Buf): Seq[PopCand] = trim(b).toSeq
+    def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    def outputEncoder: Encoder[Seq[PopCand]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[PopCand]]()
+  }
+
   /** Pop batch: per-BUCKET top-(B/nBuckets) by (priority desc, url asc),
     * subject to a per-host politeness cap of k (north star: "priority queue
     * re-expressed as a typed Dataset sorted by (priority, host-bucket,
@@ -133,31 +172,28 @@ object Frontier {
     * (SURVEY §7.4 risk 1): within a superstep the pop set is defined by this
     * rule, and the golden oracle implements the identical rule sequentially.
     *
-    * Skew: one hot host can hold most of the frontier (fixture gives it 30%).
-    * A plain Window.partitionBy(host) would sort that host's millions of
-    * candidates in ONE task. Two-phase salted top-k bounds it
-    * (north_rule's "salted repartitioning to defuse hot-host skew"):
-    *   phase 1: top-k per (host, salt) with salt = xxhash64(url) % S
-    *            → every task sees ≤ 1/S of any host;
-    *   phase 2: top-k per host over the ≤ S·k survivors — tiny.
-    * Exact: any global per-host top-k row is also in its salt's top-k.
+    * Skew + sort avoidance: one hot host can hold most of the frontier
+    * (fixture gives it 30%). A plain Window.partitionBy(host) would sort
+    * that host's millions of candidates in ONE task; the earlier salted
+    * two-phase window bounded the skew but still SORTED the entire unpopped
+    * frontier map-side every superstep. The [[HostTopK]] bounded-heap
+    * aggregation does neither: map-side partial aggregation collapses every
+    * host to ≤ 2·cap candidates inside each mapper (the hot host included),
+    * the shuffle carries O(hosts · cap) rows, and nothing ever sorts the
+    * full candidate set. The final per-bucket budget window then runs over
+    * ≤ hosts·cap survivors — a small input by construction.
     */
   def popBatch(frontier: DataFrame, cfg: CrawlConfig): DataFrame = {
     val candidates = frontier.filter(!col("popped"))
       .select("url", "host", "bucket", "priority")
-    val salted = candidates.withColumn(
-      "salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.saltBuckets)))
-    val phase1 = salted
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("host"), col("salt"))
-          .orderBy(col("priority").desc, col("url").asc)))
-      .filter(col("rk") <= cfg.perHostCap).drop("rk", "salt")
-    val phase2 = phase1
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("host"))
-          .orderBy(col("priority").desc, col("url").asc)))
-      .filter(col("rk") <= cfg.perHostCap).drop("rk")
-    phase2
+    val hostTopK = udaf(new HostTopK(cfg.perHostCap))
+    val perHost = candidates
+      .groupBy(col("host"))
+      .agg(hostTopK(col("url"), col("bucket"), col("priority")).as("top"))
+      .select(col("host"), explode(col("top")).as("c"))
+      .select(col("c.url").as("url"), col("host"),
+        col("c.bucket").as("bucket"), col("c.priority").as("priority"))
+    perHost
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("bucket"))
           .orderBy(col("priority").desc, col("url").asc)))

@@ -16,6 +16,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the politeness top-k hash-based with many hosts per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

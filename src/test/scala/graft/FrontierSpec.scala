@@ -20,15 +20,15 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
-  test("salted two-phase pop == unsalted single-window pop (exactness under skew)") {
+  test("bounded-heap per-host pop == plain single-window pop (exactness under skew)") {
     val entries = mkFrontier(2000, 11L)
     val df = spark.createDataset(entries).toDF()
       .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
     val got = Frontier.popBatch(df, cfg)
       .select("url").collect().map(_.getString(0)).toSet
 
-    // naive direct rule: single host window (no salting), then per-bucket
-    // budget — identical result proves the salted two-phase cap is exact
+    // naive direct rule: single host window, then per-bucket budget —
+    // identical result proves the HostTopK partial-aggregate cap is exact
     val naive = df.filter(!col("popped"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("host")).orderBy(col("priority").desc, col("url").asc)))

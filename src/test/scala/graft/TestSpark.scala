@@ -11,6 +11,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep the politeness top-k hash-based with many hosts per task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
