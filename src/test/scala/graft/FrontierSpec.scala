@@ -46,6 +46,25 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("HostTopK aggregator: trim boundary, merge path, tie order, k=1") {
+    def cand(p: Long, u: String) = Frontier.PopCand(u, 0, p)
+    val agg3 = new Frontier.HostTopK(3)
+    // reduce far past the 2k trim boundary: survivors are the exact top-3
+    var buf = agg3.zero
+    (1 to 100).foreach(i => buf = agg3.reduce(buf, cand(i.toLong, s"u$i")))
+    assert(agg3.finish(buf).map(_.priority).sorted == Seq(98L, 99L, 100L))
+    // merge of two partial buffers == top-3 of the union
+    var a = agg3.zero; var b = agg3.zero
+    Seq(5L, 1L, 9L).foreach(p => a = agg3.reduce(a, cand(p, s"a$p")))
+    Seq(7L, 3L, 8L).foreach(p => b = agg3.reduce(b, cand(p, s"b$p")))
+    assert(agg3.finish(agg3.merge(a, b)).map(_.priority).toSet == Set(9L, 8L, 7L))
+    // equal priorities break ties by url asc — exactly like the window rule
+    val agg1 = new Frontier.HostTopK(1)
+    var t = agg1.zero
+    Seq("zz", "aa", "mm").foreach(u => t = agg1.reduce(t, cand(4L, u)))
+    assert(agg1.finish(t).map(_.url) == Seq("aa"))
+  }
+
   test("merge is order-insensitive: link batches split arbitrarily give the same frontier") {
     val rng = new Random(5L)
     val links = (0 until 500).map { i =>

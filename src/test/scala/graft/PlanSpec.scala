@@ -48,6 +48,10 @@ class PlanSpec extends AnyFunSuite {
       s"per-bucket budgets must not use a driver merge:\n$plan")
     assert(!plan.contains("Exchange SinglePartition"),
       s"no stage may funnel to one partition:\n$plan")
+    // the politeness cap must be an AGGREGATION (bounded per-host state,
+    // map-side combine), not a window over the full candidate set
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-host cap must be the bounded-heap aggregate:\n$plan")
   }
 
   test("merge: pop-marker join never re-shuffles the merged frontier side") {
