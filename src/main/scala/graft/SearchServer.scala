@@ -1,0 +1,108 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** S9: the search HTTP endpoint — the reference serves
+  * `GET /search?query=...` from a Rocket handler that whitespace-splits the
+  * query, runs the conjunctive top-k and renders {count, results:[{url,
+  * term_count, score}], search_time} (src/bin/query.rs:294-321).
+  *
+  * Re-expressed over the Spark index with the JDK's built-in HttpServer
+  * (zero extra dependencies — the sandbox build is offline) and JSON output
+  * instead of an HTML template: the driver-facing substitution for a
+  * library whose callers are programs, not browsers. Each request runs
+  * [[Search.search]] — the same distributed plan the q13/q34 oracles pin —
+  * against the postings/docmeta tables a crawl wrote; `count` is the number
+  * of returned results (the reference counts every scored doc, a number its
+  * own UI only displays).
+  */
+object SearchServer {
+
+  /** Minimal JSON string escape: quote, backslash, and control chars. */
+  private def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => b.append("\\\"")
+      case '\\'          => b.append("\\\\")
+      case c if c < ' '  => b.append(f"\\u${c.toInt}%04x")
+      case c             => b.append(c)
+    }
+    b.append('"').toString
+  }
+
+  /** One query against the index tables, rendered as the response JSON. */
+  def searchJson(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
+                 query: String, topK: Int, termCountGate: Int): String = {
+    val t0 = System.nanoTime()
+    val rows =
+      if (Search.splitQuery(query).isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else Search.search(spark, postings, docmeta, query, topK, termCountGate)
+        .collect()
+    val ms = (System.nanoTime() - t0) / 1000000L
+    // score/term_count are numeric but their width follows the caller's
+    // docmeta schema (int in the demo, long in the oracle fixtures)
+    val results = rows.map { r =>
+      s"""{"url":${jstr(r.getString(0))},"score":${r.get(1)},"term_count":${r.get(2)}}"""
+    }.mkString(",")
+    s"""{"count":${rows.length},"results":[$results],"search_time_ms":$ms}"""
+  }
+
+  /** Start serving `GET /search?query=...` on `port` (0 = ephemeral; read
+    * the bound port from the returned server). The caller owns the Spark
+    * session and the server's lifecycle. */
+  def start(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
+            port: Int, topK: Int = 20, termCountGate: Int = 8): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/search", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp =
+          try {
+            val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+              .split("&").iterator
+              .map(_.split("=", 2))
+              .collectFirst { case Array("query", v) =>
+                URLDecoder.decode(v, UTF_8) }
+              .getOrElse("")
+            (200, searchJson(spark, postings, docmeta, q, topK, termCountGate))
+          } catch {
+            case e: Exception =>
+              (500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+          }
+        val bytes = resp._2.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(resp._1, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    // requests execute Spark actions on the driver: serialize them, exactly
+    // like the reference funnels every request through one worker pool
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  /** `runMain graft.SearchServer <crawlStateDir> <port> [topK] [gate]` —
+    * serve the index a [[CrawlLoop]] run wrote under `stateDir`. */
+  def main(args: Array[String]): Unit = {
+    val stateDir = args(0)
+    val port = args(1).toInt
+    val topK = args.lift(2).map(_.toInt).getOrElse(20)
+    val gate = args.lift(3).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-search")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val postings = spark.read.parquet(Snapshots.postingsPath(stateDir))
+    val docmeta = spark.read.parquet(Snapshots.docmetaPath(stateDir))
+    val server = start(spark, postings, docmeta, port, topK, gate)
+    println(s"search: http://localhost:${server.getAddress.getPort}/search?query=...")
+    Thread.currentThread().join() // serve until killed
+  }
+}

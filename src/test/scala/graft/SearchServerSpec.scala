@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** S9: the search HTTP endpoint serves the library's own top-k
+  * (reference: `GET /search?query=...`, src/bin/query.rs:301-321). */
+class SearchServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tables() = {
+    // two docs matching both terms (doc 2 scores higher), one doc matching
+    // only one term (conjunctive AND must drop it), plus a noise term
+    val postings = Seq(
+      (0, "spark", 1L, 5), (0, "frontier", 1L, 3),
+      (0, "spark", 2L, 9), (0, "frontier", 2L, 8),
+      (0, "spark", 3L, 7),
+      (0, "noise", 1L, 2)
+    ).toDF("epoch", "term", "doc_id", "score")
+    val docmeta = Seq(
+      (0, 1L, "https://a.example/1", 8),
+      (0, 2L, "https://b.example/\"2\"", 9), // quote exercises JSON escape
+      (0, 3L, "https://c.example/3", 7)
+    ).toDF("epoch", "doc_id", "url", "term_count")
+    (postings, docmeta)
+  }
+
+  private def get(url: String): (Int, String) = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("GET /search returns the library's top-k as JSON, in rank order") {
+    val (postings, docmeta) = tables()
+    val server = SearchServer.start(spark, postings, docmeta, port = 0,
+      topK = 20, termCountGate = 0)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) =
+        get(s"http://localhost:$port/search?query=spark%20Frontier")
+      assert(code == 200)
+      // the endpoint must agree with the library call it fronts
+      val expect = Search.search(spark, postings, docmeta,
+        "spark frontier", topK = 20, termCountGate = 0).collect()
+      assert(expect.length == 2) // doc 3 lacks 'frontier' (AND semantics)
+      assert(body.contains(s""""count":${expect.length}"""))
+      val urlsInOrder =
+        """"url":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      assert(urlsInOrder ==
+        expect.map(_.getString(0)).toSeq.map(_.replace("\"", "\\\"")))
+      expect.foreach { r =>
+        assert(body.contains(s""""score":${r.get(1)},"term_count":${r.get(2)}"""))
+      }
+      assert(body.contains("\"search_time_ms\":"))
+
+      // no-hit and empty queries answer cleanly instead of erroring
+      val (c2, b2) = get(s"http://localhost:$port/search?query=absent%20term")
+      assert(c2 == 200 && b2.contains("\"count\":0"))
+      val (c3, b3) = get(s"http://localhost:$port/search?query=")
+      assert(c3 == 200 && b3.contains("\"count\":0"))
+    } finally server.stop(0)
+  }
+}
