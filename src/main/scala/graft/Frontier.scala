@@ -135,7 +135,17 @@ object Frontier {
     * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
     * 128 groups) so the aggregation stays hash-based; the sort-based
     * fallback is still correct and still bounds state, it just re-sorts by
-    * the grouping key. */
+    * the grouping key.
+    *
+    * DEGENERATE-CAP CAVEAT: per-group state is O(min(k, rows-per-mapper)).
+    * With a politeness-off cap (k ≈ batch size, as the loop bench uses) the
+    * trim never fires and buffers hold each mapper's rows as objects — fine
+    * whenever a mapper's slice fits in memory (it must for the scan anyway),
+    * but unlike a window sort these buffers do not spill. If a deployment
+    * needs million-row caps over mappers that cannot hold their slice on
+    * heap, the spill-safe form is the salted two-phase window this
+    * aggregation replaced (git history / SURVEY §8 item 15): same result
+    * set, tungsten external sort underneath. */
   final class HostTopK(k: Int)
       extends Aggregator[PopCand, scala.collection.mutable.ArrayBuffer[PopCand], Seq[PopCand]] {
     type Buf = scala.collection.mutable.ArrayBuffer[PopCand]
