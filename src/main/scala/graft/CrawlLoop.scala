@@ -269,19 +269,27 @@ object CrawlLoop {
         // rows (e.g. a superstep whose links are all dropped by the body
         // cap): the observation then completes with the key absent. Fall
         // back to direct counts — rare, and cheap precisely because the
-        // pipeline was (near-)empty and pop/fetchedAll are cached.
+        // pipeline was (near-)empty. `pop` is cached; fetchedAll is cached
+        // only under indexWhileCrawling, so the fallback computes all three
+        // fetch-side counts in ONE aggregation over a single recomputation
+        // of the corpus join (lazy: not planned at all when the
+        // observations delivered).
         val obsAMap = obsAllowed.get
         val fetchM = obsFetch.get
         def obsOr(m: Map[String, Any], key: String)(fallback: => Long): Long =
           m.get(key).map(_.asInstanceOf[Long]).getOrElse(fallback)
+        lazy val fetchFallback: (Long, Long, Long) = {
+          val r = fetchedAll.agg(
+            count(lit(1)),
+            count(when(isOkHtml, 1)),
+            count(when(isOkHtml && bodyBytesCol > cfg.megasiteLen, 1))).first()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
         val allowedCount = obsOr(obsAMap, "allowed")(
           Robots.allowedBatch(pop, robotsNorm).count())
-        val matched = obsOr(fetchM, "matched")(fetchedAll.count())
-        val fetched = obsOr(fetchM, "fetched")(
-          Fetcher.okHtml(fetchedAll).count())
-        val megasites = obsOr(fetchM, "megasites")(
-          Fetcher.okHtml(fetchedAll)
-            .filter(bodyBytesCol > cfg.megasiteLen).count())
+        val matched = obsOr(fetchM, "matched")(fetchFallback._1)
+        val fetched = obsOr(fetchM, "fetched")(fetchFallback._2)
+        val megasites = obsOr(fetchM, "megasites")(fetchFallback._3)
         val robotsDenied = popped - allowedCount
         val fetchErrors = allowedCount - matched
 

@@ -138,14 +138,13 @@ object Frontier {
     * the grouping key.
     *
     * DEGENERATE-CAP CAVEAT: per-group state is O(min(k, rows-per-mapper)).
-    * With a politeness-off cap (k ≈ batch size, as the loop bench uses) the
-    * trim never fires and buffers hold each mapper's rows as objects — fine
-    * whenever a mapper's slice fits in memory (it must for the scan anyway),
-    * but unlike a window sort these buffers do not spill. If a deployment
-    * needs million-row caps over mappers that cannot hold their slice on
-    * heap, the spill-safe form is the salted two-phase window this
-    * aggregation replaced (git history / SURVEY §8 item 15): same result
-    * set, tungsten external sort underneath. */
+    * With a politeness-off cap (k ≈ batch size) the trim never fires and
+    * buffers hold each mapper's rows as JVM objects with no spill — unlike
+    * a window sort (tungsten external sort underneath, which spills).
+    * [[popBatch]] therefore guards IN CODE: caps above
+    * `cfg.hostTopKSpillBound` route to the spill-safe salted two-phase
+    * window form ([[popBatchWindow]]) instead; result sets are identical
+    * (parity-pinned in FrontierSpec). */
   final class HostTopK(k: Int)
       extends Aggregator[PopCand, scala.collection.mutable.ArrayBuffer[PopCand], Seq[PopCand]] {
     type Buf = scala.collection.mutable.ArrayBuffer[PopCand]
@@ -192,21 +191,58 @@ object Frontier {
     * the shuffle carries O(hosts · cap) rows, and nothing ever sorts the
     * full candidate set. The final per-bucket budget window then runs over
     * ≤ hosts·cap survivors — a small input by construction.
-    */
+    *
+    * Physical-form selection: the heap aggregate's per-group buffers live
+    * on the JVM heap and do not spill, so it is the right shape exactly
+    * when the cap is politeness-sized (the reference's default is 8). A
+    * degenerate cap (perHostCap > cfg.hostTopKSpillBound, e.g. a
+    * politeness-off run where cap = batch size) routes to the salted
+    * two-phase window instead — same result set (FrontierSpec parity),
+    * tungsten external sort underneath, so memory stays bounded however
+    * large the cap. */
   def popBatch(frontier: DataFrame, cfg: CrawlConfig): DataFrame = {
     val candidates = frontier.filter(!col("popped"))
       .select("url", "host", "bucket", "priority")
-    val hostTopK = udaf(new HostTopK(cfg.perHostCap))
-    val perHost = candidates
-      .groupBy(col("host"))
-      .agg(hostTopK(col("url"), col("bucket"), col("priority")).as("top"))
-      .select(col("host"), explode(col("top")).as("c"))
-      .select(col("c.url").as("url"), col("host"),
-        col("c.bucket").as("bucket"), col("c.priority").as("priority"))
+    val perHost =
+      if (cfg.perHostCap <= cfg.hostTopKSpillBound) {
+        val hostTopK = udaf(new HostTopK(cfg.perHostCap))
+        candidates
+          .groupBy(col("host"))
+          .agg(hostTopK(col("url"), col("bucket"), col("priority")).as("top"))
+          .select(col("host"), explode(col("top")).as("c"))
+          .select(col("c.url").as("url"), col("host"),
+            col("c.bucket").as("bucket"), col("c.priority").as("priority"))
+      } else popBatchWindowPerHost(candidates, cfg)
     perHost
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("bucket"))
           .orderBy(col("priority").desc, col("url").asc)))
       .filter(col("rk") <= perBucketBudget(cfg)).drop("rk")
+  }
+
+  /** The spill-safe per-host politeness top-k (north_rule's "salted
+    * repartitioning to defuse hot-host skew"):
+    *   phase 1: top-k per (host, salt) with salt = xxhash64(url) % S
+    *            → every task sees ≤ 1/S of any host;
+    *   phase 2: top-k per host over the ≤ S·k survivors.
+    * Exact: any global per-host top-k row is also in its salt's top-k.
+    * Each window is a tungsten external sort — bounded memory at ANY cap —
+    * at the cost of sorting the full unpopped candidate set map-side, which
+    * is why politeness-sized caps prefer the [[HostTopK]] heap form
+    * (+25-33% kernel throughput, BENCH.md). */
+  private def popBatchWindowPerHost(candidates: DataFrame,
+                                    cfg: CrawlConfig): DataFrame = {
+    val salted = candidates.withColumn(
+      "salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.saltBuckets)))
+    val phase1 = salted
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host"), col("salt"))
+          .orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= cfg.perHostCap).drop("rk", "salt")
+    phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("priority").desc, col("url").asc)))
+      .filter(col("rk") <= cfg.perHostCap).drop("rk")
   }
 }

@@ -145,10 +145,21 @@ object Parser {
   private def linkSpanUdf(maxDocumentLen: Int, maxUrlLen: Int, bonus: Long,
                           academicOnly: Boolean) =
     udf((base: String, spans: Seq[org.apache.spark.sql.Row]) => {
-      // spans struct field order is the Span case-class order:
-      // (kind, text, media_ref, offset)
-      val ss = spans.map(r => Span(r.getString(0), r.getString(1),
-        r.getString(2), r.getInt(3)))
+      // Resolve the span struct's field positions BY NAME, once per page
+      // (all rows of one array share a schema): a corpus parquet written
+      // externally or schema-evolved may order the struct fields
+      // differently than the Span case class, and positional access would
+      // silently misparse kind/text. Per-span access stays positional on
+      // the resolved indices — no per-span name lookups on the hot path.
+      val ss = if (spans.isEmpty) Seq.empty[Span] else {
+        val sch = spans.head.schema
+        val (ki, ti, mi, oi) =
+          if (sch == null) (0, 1, 2, 3) // schemaless Row: case-class order
+          else (sch.fieldIndex("kind"), sch.fieldIndex("text"),
+            sch.fieldIndex("media_ref"), sch.fieldIndex("offset"))
+        spans.map(r => Span(r.getString(ki), r.getString(ti),
+          r.getString(mi), r.getInt(oi)))
+      }
       val html = cappedHtmlOf(ss, maxDocumentLen)
       extractLinks(base, html, maxUrlLen, bonus, academicOnly)
         .map { case (u, w) => Link(u, UrlOps.host(u).getOrElse(""), w) }

@@ -369,14 +369,18 @@ object QueriesData {
       // one Lloyd iteration: assign to nearest `prev` centroid, then the
       // integer-scaled elementwise mean (exactly Similarity.kmeansCodebook's
       // round(x * 2^20) BIGINT sums — order-independent, so both engines
-      // agree bit-for-bit); dim is 64, lists are 1-based
+      // agree bit-for-bit); dim is 64, lists are 1-based. A cell that lost
+      // all members keeps its previous centroid (left join + coalesce —
+      // kmeansCodebook's keep-old-centroid rule, so the twins can't diverge
+      // on a corpus where a cell empties mid-training).
       def iter(prev: String, asg: String, sums: String, next: String): String =
         s"$asg AS (SELECT e.vec_id, c.cid AS cell FROM embeddings e, $prev c " +
           s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosE("e.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) = 1), " +
           s"$sums AS (SELECT a.cell, t.i AS ord, " +
           "SUM(CAST(round(e.embedding[t.i]::DOUBLE * 1048576.0) AS BIGINT)) AS s, COUNT(*) AS n " +
           s"FROM $asg a JOIN embeddings e USING (vec_id), range(1, 65) t(i) GROUP BY a.cell, t.i), " +
-          s"$next AS (SELECT cell AS cid, list(s::DOUBLE / n / 1048576.0 ORDER BY ord) AS emb FROM $sums GROUP BY cell)"
+          s"${next}_new AS (SELECT cell AS cid, list(s::DOUBLE / n / 1048576.0 ORDER BY ord) AS emb FROM $sums GROUP BY cell), " +
+          s"$next AS (SELECT p.cid, coalesce(t.emb, p.emb) AS emb FROM $prev p LEFT JOIN ${next}_new t USING (cid))"
       ("WITH c0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 16), " +
         iter("c0", "a1", "s1", "c1") + ", " +
         iter("c1", "a2", "s2", "c2") + ", " +

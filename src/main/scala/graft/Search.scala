@@ -77,7 +77,21 @@ object Search {
     * anywhere before the final top-k action, so the plan holds when epoch
     * count reaches thousands. */
   def search(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
-             query: String, topK: Int = 20, termCountGate: Int = 8): DataFrame = {
+             query: String, topK: Int = 20, termCountGate: Int = 8): DataFrame =
+    searchWithScanCount(spark, postings, docmeta, query, topK, termCountGate)._1
+
+  /** [[search]] plus the reference's result-page `count`: the number of
+    * docs SCANNED = shard size × shards that held every query term — the
+    * reference accumulates `count += SHARD_SIZE * shards_scored`
+    * (src/bin/query.rs:158-172,260-263; every doc of a participating shard
+    * goes through the scoring fold, zeros included). Returned as a one-row
+    * frame (`scanned_docs` bigint, 0 when no shard participates) so the
+    * caller picks when to pay the action; it re-aggregates only the
+    * term-filtered postings slice — the same tiny preamble the shift
+    * vectors need. */
+  def searchWithScanCount(spark: SparkSession, postings: DataFrame,
+      docmeta: DataFrame, query: String, topK: Int = 20,
+      termCountGate: Int = 8): (DataFrame, DataFrame) = {
     val terms = splitQuery(query)
     require(terms.nonEmpty, "empty query")
     val termsD = terms.distinct
@@ -120,11 +134,14 @@ object Search {
       .filter(col("score") > 0)
       .select("epoch", "doc_id", "score")
 
-    perDoc
+    val results = perDoc
       .join(docmeta, Seq("epoch", "doc_id")) // J5: url lookup for winners
       .filter(col("term_count") >= termCountGate) // F10
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(topK)
       .select(col("url"), col("score"), col("term_count"))
+    val scanned = epochStats
+      .agg(coalesce(sum(col("shard_size")), lit(0L)).as("scanned_docs"))
+    (results, scanned)
   }
 }

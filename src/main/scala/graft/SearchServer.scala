@@ -15,9 +15,9 @@ import java.nio.charset.StandardCharsets.UTF_8
   * instead of an HTML template: the driver-facing substitution for a
   * library whose callers are programs, not browsers. Each request runs
   * [[Search.search]] — the same distributed plan the q13/q34 oracles pin —
-  * against the postings/docmeta tables a crawl wrote; `count` is the number
-  * of returned results (the reference counts every scored doc, a number its
-  * own UI only displays).
+  * against the postings/docmeta tables a crawl wrote; `count` is the
+  * reference's: docs scanned = shard size × shards holding every query
+  * term (count += SHARD_SIZE * shards_scored, src/bin/query.rs:260-263).
   */
 object SearchServer {
 
@@ -37,17 +37,21 @@ object SearchServer {
   def searchJson(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
                  query: String, topK: Int, termCountGate: Int): String = {
     val t0 = System.nanoTime()
-    val rows =
-      if (Search.splitQuery(query).isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else Search.search(spark, postings, docmeta, query, topK, termCountGate)
-        .collect()
+    val (rows, scanned) =
+      if (Search.splitQuery(query).isEmpty)
+        (Array.empty[org.apache.spark.sql.Row], 0L)
+      else {
+        val (res, scan) = Search.searchWithScanCount(
+          spark, postings, docmeta, query, topK, termCountGate)
+        (res.collect(), scan.first().getLong(0))
+      }
     val ms = (System.nanoTime() - t0) / 1000000L
     // score/term_count are numeric but their width follows the caller's
     // docmeta schema (int in the demo, long in the oracle fixtures)
     val results = rows.map { r =>
       s"""{"url":${jstr(r.getString(0))},"score":${r.get(1)},"term_count":${r.get(2)}}"""
     }.mkString(",")
-    s"""{"count":${rows.length},"results":[$results],"search_time_ms":$ms}"""
+    s"""{"count":$scanned,"results":[$results],"search_time_ms":$ms}"""
   }
 
   /** Start serving `GET /search?query=...` on `port` (0 = ephemeral; read

@@ -97,6 +97,7 @@ final case class CrawlConfig(
     crossDomainBonus: Long = 1L,    // src/config.rs:74
     nBuckets: Int = 64,             // frontier hash shards (src/config.rs:71 n_pqueues)
     saltBuckets: Int = 16,          // hot-host salting for the pop window
+    hostTopKSpillBound: Int = 65536, // caps above this use the spill-safe window pop
     maxBatches: Int = 1000,
     indexWhileCrawling: Boolean = false,
     academicOnly: Boolean = false)  // F11 gate (src/main-old.rs:180), off in current gen

@@ -162,32 +162,46 @@ object Similarity {
     * per iteration carries only (cell, pos, partial-sum) after map-side
     * combine — O(parts * kCells * dim), never the embeddings themselves.
     * Cells that lose all members keep their previous centroid.
+    *
+    * LINEAGE: the centroid frame is kCells×dim — tiny — so each iteration
+    * COLLECTS it to the driver and rebuilds a literal DataFrame for the
+    * next assignment pass. Without that, iteration i's plan references
+    * iteration i−1's unmaterialized frame twice (assignment + the
+    * empty-cell coalesce) and the logical plan grows geometrically with
+    * `iters` (fine at 2, pathological at 10+). One extra tiny action per
+    * iteration buys flat lineage; values are bit-identical (the collected
+    * doubles round-trip exactly).
     * Output: (vec_id = cell id 0..kCells-1, embedding array<double>). */
   def kmeansCodebook(vectors: DataFrame, kCells: Int, iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val Scale = 1048576L // 2^20: float components scale exactly in a double
-    var cents = vectors.filter(col("vec_id") < kCells)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // centroids live driver-side between iterations: id -> components
+    var cents: Seq[(Long, Seq[Double])] = vectors.filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => x.cast("double")))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    def centsDf: DataFrame = cents.toDF("vec_id", "embedding")
     for (_ <- 0 until iters) {
-      val asg = ivfAssign(vectors, cents)
-      val sums = vectors.join(asg, "vec_id")
+      val asg = ivfAssign(vectors, centsDf)
+      val trained = vectors.join(asg, "vec_id")
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(round(col("v").cast("double") * Scale).cast("long")).as("s"),
           count(lit(1)).as("n"))
-      val trained = sums.groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"),
-            (col("s").cast("double") / col("n") / Scale).as("v")))),
-          e => e.getField("v")).as("embedding"))
-        .select(col("cell").as("vec_id"), col("embedding"))
+        // the same double math as the pre-flattening form: s / n / Scale
+        .select(col("cell").cast("long"), col("pos"),
+          (col("s").cast("double") / col("n") / Scale).as("v"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
       // keep the old centroid for any cell that lost all members
-      cents = cents.alias("o")
-        .join(trained.alias("t"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("t.embedding"), col("o.embedding")).as("embedding"))
+      cents = cents.map { case (id, old) => (id, trained.getOrElse(id, old)) }
     }
-    cents
+    centsDf
   }
 
   /** [[ivfTopK]] against an explicit codebook (e.g. [[kmeansCodebook]]).

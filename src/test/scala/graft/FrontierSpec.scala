@@ -46,6 +46,24 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("politeness-off cap routes to the spill-safe window pop, same result set") {
+    val entries = mkFrontier(2000, 17L)
+    val df = spark.createDataset(entries).toDF()
+      .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
+    // cap = "batch size" (politeness off), far above the spill bound → the
+    // window form runs; forcing the heap form via a raised bound must give
+    // the identical pop set (both implement the same per-host top-k rule)
+    val bigCap = cfg.copy(batchSize = 500, perHostCap = 500,
+      hostTopKSpillBound = 100)
+    val viaWindow = Frontier.popBatch(df, bigCap)
+      .select("url").collect().map(_.getString(0)).toSet
+    val viaHeap = Frontier.popBatch(df,
+        bigCap.copy(hostTopKSpillBound = Int.MaxValue))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(viaWindow == viaHeap)
+    assert(viaWindow.nonEmpty)
+  }
+
   test("HostTopK aggregator: trim boundary, merge path, tie order, k=1") {
     def cand(p: Long, u: String) = Frontier.PopCand(u, 0, p)
     val agg3 = new Frontier.HostTopK(3)

@@ -267,6 +267,21 @@ class OpsSpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("k-means codebook: flat lineage — iters=8 runs in bounded time") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val cents = Similarity.kmeansCodebook(vecs, kCells = 4, iters = 8).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(cents.length == 4)
+    assert(cents.forall(_.getSeq[Double](1).size == 8))
+    // the pre-flattening form doubled the plan per iteration — at 8
+    // iterations it would not finish; materialized centroids keep each
+    // iteration's plan constant-size
+    assert(sec < 120.0, f"kmeans iters=8 took $sec%.1f s — lineage regrowing?")
+  }
+
   test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
     val f0 = TextOps.rollingFingerprint(texts(0)._2, 8)
     assert(f0 >= 0 && f0 < (1L << 31) - 1)

@@ -47,7 +47,10 @@ class SearchServerSpec extends AnyFunSuite {
       val expect = Search.search(spark, postings, docmeta,
         "spark frontier", topK = 20, termCountGate = 0).collect()
       assert(expect.length == 2) // doc 3 lacks 'frontier' (AND semantics)
-      assert(body.contains(s""""count":${expect.length}"""))
+      // count = docs SCANNED: shard size × shards holding every query term
+      // (reference: count += SHARD_SIZE * shards_scored,
+      // src/bin/query.rs:260-263) — epoch 0 has 3 docs and both terms
+      assert(body.contains(""""count":3"""))
       val urlsInOrder =
         """"url":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
       assert(urlsInOrder ==
@@ -62,6 +65,22 @@ class SearchServerSpec extends AnyFunSuite {
       assert(c2 == 200 && b2.contains("\"count\":0"))
       val (c3, b3) = get(s"http://localhost:$port/search?query=")
       assert(c3 == 200 && b3.contains("\"count\":0"))
+    } finally server.stop(0)
+  }
+
+  test("count exceeds topK when more docs were scanned than returned") {
+    val (postings, docmeta) = tables()
+    // topK = 1 truncates the result list; the reference's count still
+    // reports every scanned doc (3 in the participating shard)
+    val server = SearchServer.start(spark, postings, docmeta, port = 0,
+      topK = 1, termCountGate = 0)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) =
+        get(s"http://localhost:$port/search?query=spark%20frontier")
+      assert(code == 200)
+      assert("""\"url\":""".r.findAllIn(body).size == 1) // truncated to topK
+      assert(body.contains(""""count":3""")) // 3 > topK = 1
     } finally server.stop(0)
   }
 }
