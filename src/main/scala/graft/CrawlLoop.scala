@@ -422,6 +422,64 @@ object CrawlLoop {
     CrawlResult(metricsOut.result(), stateDir)
   }
 
+  /** Frontier retirement — the re-crawl maintenance operator over a
+    * COMMITTED crawl state (reference analog: the popped-entry lifecycle,
+    * src/page.rs:33-50, extended with expiry so a page can be fetched
+    * again). For each given url:
+    *   - the frontier row's `popped` flag clears (re-poppable at its
+    *     accumulated priority — the next run's politeness window competes
+    *     it normally);
+    *   - its fingerprint is DELETED from every persisted cuckoo delta —
+    *     the capability the north star pairs cuckoo with Bloom for. Bloom
+    *     blobs stay untouched: Bloom remains "ever inserted" (the dedup
+    *     split's no-false-negative contract keeps holding, so a retired
+    *     url seen as a link still routes through the exact merge and never
+    *     duplicates its frontier row), while cuckoo becomes "currently
+    *     live" and drives re-crawl decisions.
+    *
+    * IO is O(touched buckets + filter deltas): only frontier bucket dirs
+    * holding a retired url rewrite (delta snapshot, like a superstep);
+    * filter deltas are nBuckets-row tables. Commits a new manifest at the
+    * same (batch, phase) so a later run/resume sees the retirement
+    * atomically; a crash mid-retire leaves the previous manifest live.
+    */
+  def retire(spark: SparkSession, stateDir: String, urls: DataFrame,
+             cfg: CrawlConfig): Unit = {
+    import Snapshots._
+    val m = readCurrent(stateDir)
+      .getOrElse(sys.error(s"retire: no committed crawl state at $stateDir"))
+    val retireUrls = urls.select(col("url")).distinct()
+      .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
+      .persist()
+    val touched = retireUrls.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0).toString).toSet
+    val changed = touched.intersect(m.bucketPaths.keySet).toSeq
+
+    // a unique dir per retire op under the committed batch's dir
+    val base = s"${batchDir(stateDir, m.batch)}/retire"
+    var k = 0
+    while (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base-$k"))) k += 1
+
+    var bucketPaths = m.bucketPaths
+    if (changed.nonEmpty) {
+      val slice = readFrontier(spark, m.bucketPaths.filter(kv => changed.contains(kv._1)))
+      val outDir = s"$base-$k/frontier"
+      Frontier.retire(slice, retireUrls)
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
+      bucketPaths = bucketPaths ++ changed.map(_ -> outDir)
+    }
+    val filtersPaths = m.filtersPaths.zipWithIndex.map { case (p, i) =>
+      val outDir = s"$base-$k/filters-$i"
+      SeenSet.retireFromFilters(spark.read.parquet(p), retireUrls)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
+      outDir
+    }
+    retireUrls.unpersist()
+    Snapshots.commit(stateDir, m.copy(
+      bucketPaths = bucketPaths, filtersPaths = filtersPaths))
+  }
+
   /** Per-batch metrics live in the committed manifest history (one JSON per
     * superstep commit — north_rule: metrics committed to snapshots); no
     * separate per-batch parquet write job. [[metricsTable]] materializes the

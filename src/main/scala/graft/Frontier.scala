@@ -103,6 +103,20 @@ object Frontier {
       .withColumn("bucket", bucketCol(col("url"), cfg.nBuckets))
   }
 
+  /** Retire frontier entries: clears the `popped` flag for the given urls,
+    * making them eligible to pop (and so re-fetch) again — the inverse of
+    * the pop marker, i.e. the reference's popped-entry lifecycle
+    * (src/page.rs:33-50) extended with expiry for re-crawl. Priority is
+    * preserved: the retired entry competes in the politeness window at its
+    * accumulated link weight. Rows not named pass through unchanged; urls
+    * not present in the frontier are ignored (nothing to retire). */
+  def retire(frontier: DataFrame, urls: DataFrame): DataFrame =
+    frontier
+      .join(urls.select(col("url")).distinct().withColumn("__retire", lit(true)),
+        Seq("url"), "left")
+      .select(col("url"), col("host"), col("bucket"), col("priority"),
+        (col("popped") && !coalesce(col("__retire"), lit(false))).as("popped"))
+
   /** Pure-Scala twin of [[bucketCol]] (shared with the sequential oracle):
     * Spark's xxhash64 (seed 42) mod nBuckets, non-negative. */
   def bucketOf(url: String, nBuckets: Int): Int = {

@@ -259,6 +259,28 @@ object QueriesCrawl {
           col("term_count").cast("long").as("term_count"))
     }),
 
+    // Cuckoo-filter retirement (the delete capability Bloom lacks): build
+    // the per-bucket cuckoo filters over every url, retire every 25th doc's
+    // url, then probe the INSERTED urls — survivors must be exactly the
+    // authoritative set minus the retired set (an EXCEPT in the oracle).
+    // Exactness: inserted-and-kept urls always probe true (deleting another
+    // key removes only one stored copy of a colliding fingerprint);
+    // retired urls probe false unless a kept url shares their 16-bit
+    // fingerprint AND bucket — no such collision exists in the
+    // deterministic driver fixtures (verified at sf 0.001/0.01/0.1; with
+    // ~1.2e-4 collision probability per retired url the 1-in-25 set keeps
+    // the fixture comfortably collision-free, where 1-in-10 at sf0.1 hit
+    // exactly one), so the comparison is exact, not probabilistic.
+    "q45_cuckoo_retire" -> ((s, d) => {
+      val u = urls(s, d)
+        .withColumn("bucket", Frontier.bucketCol(col("url"), 16))
+      val filters = SeenSet.buildFilters(u.select("url", "bucket"))
+      val retired = u.filter(col("doc_id") % 25 === 0).select("url", "bucket")
+      val after = SeenSet.retireFromFilters(filters, retired)
+      SeenSet.probeCuckoo(u.select("doc_id", "url", "bucket"), after, "live")
+        .filter(col("live")).select(col("doc_id"), col("url"))
+    }),
+
     // The crawl superstep's SQL-expressible tail, composed through the REAL
     // operators: admission (F1 suffix/scheme + F5 length + F4 trap) → L5
     // cross-domain weighting → A1 insert-or-increment merge with pop
@@ -402,6 +424,11 @@ object QueriesCrawl {
         "SELECT CAST(s.doc_id AS VARCHAR) AS url, CAST(s.score AS BIGINT) AS score, d.term_count " +
         "FROM scored s JOIN dm d ON s.epoch = d.epoch AND s.doc_id = d.doc_id " +
         "WHERE s.score > 0 AND d.term_count >= 5 ORDER BY s.score DESC, s.doc_id ASC LIMIT 20"),
+
+    // membership after cuckoo retirement == authoritative urls EXCEPT the
+    // retired ones (see the query comment for why this is exact here)
+    "q45_cuckoo_retire" ->
+      s"$sqlUrlsCte SELECT doc_id, url FROM urls WHERE doc_id % 25 <> 0",
 
     "q41_superstep_tail" -> {
       val srcRoot = "CASE WHEN len(string_split(src_host,'.')) <= 2 THEN src_host ELSE (string_split(src_host,'.'))[-2] || '.' || (string_split(src_host,'.'))[-1] END"

@@ -251,6 +251,35 @@ object SeenSet {
       .agg(bloomAgg(col("url")).as("bloom"), cuckooAgg(col("url")).as("cuckoo"))
   }
 
+  /** Retire urls from a (bucket, bloom, cuckoo) filter table: deletes each
+    * url's fingerprint from its bucket's CUCKOO filter — the capability the
+    * north star pairs cuckoo with Bloom for (Fan et al. 2014 §1; Bloom
+    * bits cannot be unset). Bloom blobs pass through untouched, so after
+    * retirement the two filters answer DIFFERENT questions: Bloom = "ever
+    * inserted" (the dedup split's no-false-negative guarantee keeps
+    * holding), cuckoo = "currently live" (drives re-crawl decisions —
+    * the reference's popped-entry semantics, src/page.rs:33-50).
+    *
+    * Shape: retire urls aggregate per bucket (one shuffle of the tiny
+    * retire set), then join the one-row-per-bucket filter table — the
+    * delete itself is a narrow per-bucket map, no filter bytes ever
+    * shuffle beyond their own bucket row. Buckets with no retirement pass
+    * through byte-identical. */
+  def retireFromFilters(filters: DataFrame, urls: DataFrame): DataFrame = {
+    val byBucket = urls.select(col("bucket").cast("int").as("bucket"), col("url"))
+      .groupBy(col("bucket")).agg(collect_set(col("url")).as("__retire"))
+    val del = udf { (blob: Array[Byte], retire: Seq[String]) =>
+      val f = CuckooFilter.deserialize(blob)
+      retire.foreach(f.delete)
+      f.serialize()
+    }
+    filters.join(byBucket, Seq("bucket"), "left")
+      .select(
+        (filters.columns.filter(_ != "cuckoo").toSeq.map(col) :+
+          when(col("__retire").isNull, col("cuckoo"))
+            .otherwise(del(col("cuckoo"), col("__retire"))).as("cuckoo")): _*)
+  }
+
   /** Merge two filter tables: the union IS the merged form — a bucket may
     * carry several delta rows and membership is "hit in ANY of them"
     * ([[probeWith]]). Filters are exact-count sized per delta, so blob-level

@@ -184,6 +184,52 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(resumed.batches.nonEmpty)
   }
 
+  test("retire: url re-poppable, cuckoo membership deleted, Bloom still seen") {
+    import spark.implicits._
+    val dir = tmpDir("retire")
+    runEngine(dir, cfg.copy(maxBatches = 3))
+    val m0 = Snapshots.readCurrent(dir).get
+    val frontier0 = Snapshots.readFrontier(spark, m0.bucketPaths)
+    val before = frontier0.select("url", "priority", "popped").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val victim = before.filter(_._2._2).keys.min // a popped (fetched) url
+    def probe(filtersPaths: Seq[String]) = {
+      val f = filtersPaths.map(spark.read.parquet).reduce(_ unionByName _)
+      val in = Seq(victim).toDF("url")
+        .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
+      (SeenSet.probeBloom(in, f).select("seenish").first().getBoolean(0),
+        SeenSet.probeCuckoo(in, f).select("seenish").first().getBoolean(0))
+    }
+    assert(probe(m0.filtersPaths) == ((true, true))) // fetched: both filters hit
+
+    CrawlLoop.retire(spark, dir, Seq(victim).toDF("url"), cfg)
+
+    val m1 = Snapshots.readCurrent(dir).get
+    // only the victim's row changed, and only its popped flag
+    val after = Snapshots.readFrontier(spark, m1.bucketPaths)
+      .select("url", "priority", "popped").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(after(victim) == ((before(victim)._1, false)))
+    assert(after - victim == before - victim)
+    // Bloom-only membership still says seen (dedup contract intact); the
+    // cuckoo filter — the deletable one — no longer contains the url
+    assert(probe(m1.filtersPaths) == ((true, false)))
+    // re-poppable: an unconstrained pop includes the victim again
+    val repop = Frontier.popBatch(
+        Snapshots.readFrontier(spark, m1.bucketPaths),
+        cfg.copy(batchSize = 10000, perHostCap = 10000))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(repop.contains(victim))
+    // and the committed retire state resumes cleanly: the loop crawls on
+    // without duplicating the victim's frontier row
+    runEngine(dir, cfg.copy(maxBatches = 5))
+    val mFinal = Snapshots.readCurrent(dir).get
+    assert(mFinal.batch > m1.batch)
+    val finalRows = Snapshots.readFrontier(spark, mFinal.bucketPaths)
+      .filter(col("url") === victim).collect()
+    assert(finalRows.length == 1)
+  }
+
   test("delta snapshots: unchanged buckets carry forward by reference, changed ones rewrite") {
     // many buckets + a tiny batch => most buckets are untouched per superstep
     val dir = tmpDir("delta")
