@@ -117,10 +117,12 @@ object QueriesData {
     "q27_lsh_buckets" -> ((s, d) =>
       Similarity.lshBuckets(tbl(s, d, "embeddings"), planes = 8)),
 
-    // 4-table OR-amplified LSH (multi-table recall fix): candidates meet
-    // if they share ANY table's 6-bit signature
+    // 8-table OR-amplified LSH over 5-bit signatures: the AnnSweep-chosen
+    // recall point (recall@3 0.55 at ~23% candidate fraction on the
+    // near-uniform synthetic embeddings — see SURVEY §8.3; IVF is the
+    // primary ANN scale path, LSH the near-dup candidate generator)
     "q28_lsh_ann_topk" -> ((s, d) =>
-      Similarity.lshTopK(tbl(s, d, "embeddings"), planes = 6, k = 3, tables = 4)
+      Similarity.lshTopK(tbl(s, d, "embeddings"), planes = 5, k = 3, tables = 8)
         .select(col("vec_id"), col("nn_id"), col("rank").cast("long").as("rank"), col("sim"))),
 
     "q29_embed_near_dups" -> ((s, d) =>
@@ -316,13 +318,13 @@ object QueriesData {
         "SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id"),
 
     "q28_lsh_ann_topk" ->
-      // 4 tables x 6 planes: global plane id gp in 0..23, table = gp // 6,
-      // bit = gp % 6; composite bucket = table * 64 + signature; a pair
+      // 8 tables x 5 planes: global plane id gp in 0..39, table = gp // 5,
+      // bit = gp % 5; composite bucket = table * 32 + signature; a pair
       // found in several tables dedups via DISTINCT before ranking
-      ("WITH pw AS (SELECT gp, gp // 6 AS t, gp % 6 AS p, d, CAST((((" + sqlHash60("CAST(gp AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
-        "FROM unnest(generate_series(0, 23)) tp(gp), unnest(generate_series(0, 63)) td(d)), " +
+      ("WITH pw AS (SELECT gp, gp // 5 AS t, gp % 5 AS p, d, CAST((((" + sqlHash60("CAST(gp AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + ") & 1) * 2 - 1) AS DOUBLE) AS wt " +
+        "FROM unnest(generate_series(0, 39)) tp(gp), unnest(generate_series(0, 63)) td(d)), " +
         "proj AS (SELECT e.vec_id, pw.t, pw.p, sum(e.embedding[pw.d + 1]::DOUBLE * pw.wt) AS s FROM embeddings e, pw GROUP BY e.vec_id, pw.t, pw.p), " +
-        "buckets AS (SELECT vec_id, CAST(t * 64 + sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id, t), " +
+        "buckets AS (SELECT vec_id, CAST(t * 32 + sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket FROM proj GROUP BY vec_id, t), " +
         "pairs AS (SELECT DISTINCT qa.vec_id AS vec_id, qb.vec_id AS nn_id, " +
         "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / " +
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS sim " +

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN parameter-sweep utility: measures recall@k and candidate cost of
+  * the hyperplane-LSH path across (planes, tables) settings, against exact
+  * brute-force top-k — the recall/cost trade every deployment must pick
+  * (`tables` = OR-amplification rounds, `planes` = bucket granularity;
+  * Charikar 2002 / classical multi-table LSH).
+  *
+  * `runMain graft.ops.AnnSweep <embeddingsParquet> [k]` prints one line per
+  * setting: recall@k, distinct candidate-pair fraction (the quadratic work
+  * actually paid, after multi-table dedup), per-table bucket-join row count
+  * (the shuffle paid BEFORE dedup), and wall seconds for the full top-k.
+  */
+object AnnSweep {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse("/root/testdata/sf0.1/embeddings.parquet")
+    val k = args.lift(1).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = spark.read.parquet(path).persist()
+    val n = e.count()
+    val queries = e.filter(col("vec_id") < 40)
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.filter(col("vec_id") < 40).select("vec_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairsOf(Similarity.bruteTopK(queries, e, k))
+    System.err.println(s"n=$n brute pairs=${brute.size}")
+    val settings = for {
+      planes <- Seq(4, 5, 6, 7, 8)
+      tables <- Seq(1, 4, 8, 12)
+    } yield (planes, tables)
+    settings.foreach { case (planes, tables) =>
+      val t0 = System.nanoTime()
+      val lsh = pairsOf(Similarity.lshTopK(e, planes, k, tables = tables))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = (lsh & brute).size.toDouble / brute.size
+      // distinct candidate pairs (the post-dedup quadratic work) and the
+      // pre-dedup per-table bucket-join volume
+      val b = Similarity.lshBuckets(e, planes, tables)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
+        .agg(sum(col("pop") * (col("pop") - 1)).as("raw")).first().getLong(0)
+      val distinctPairs = Similarity.lshCandidatePairCount(e, planes, tables)
+      val frac = distinctPairs.toDouble / (n.toDouble * (n - 1))
+      println(f"planes=$planes%d tables=$tables%2d recall@$k=$recall%.3f " +
+        f"cand_frac=$frac%.4f raw_join_rows=$b%d sec=$sec%.1f")
+    }
+    spark.stop()
+  }
+}

@@ -137,6 +137,21 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Number of DISTINCT ordered candidate pairs an LSH setting generates
+    * (after multi-table dedup) — the recall/cost denominator `AnnSweep`
+    * reports. Diagnostic utility: the plain bucket self-join here is fine
+    * for measurement runs; the production path bounds degenerate buckets
+    * via [[boundedBucketPairs]]. */
+  def lshCandidatePairCount(vectors: DataFrame, planes: Int,
+                            tables: Int = 1): Long = {
+    val b = lshBuckets(vectors, planes, tables)
+    b.alias("a").join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"))
+      .distinct().count()
+  }
+
   /** IVF cell assignment: each vector joins its nearest centroid (argmax
     * cosine, ties to the lowest centroid id). The codebook broadcasts; the
     * corpus side is one narrow pass + a map-side-partial argmax aggregate —
