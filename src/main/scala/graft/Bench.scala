@@ -246,6 +246,8 @@ object Bench {
     // unknown degenerate caps to the spill-safe window (Frontier.popBatch).
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = batchSize,
       hostTopKSpillBound = Int.MaxValue,
+      // A/B knob for the popped-partition snapshot layout (BENCH.md §0)
+      splitSnapshotsByPopped = sys.env.contains("SPARK_GRAFT_POPPED_SPLIT"),
       maxBatches = batches, nBuckets = 64, saltBuckets = 16, minTokens = 50)
     // corpus materialized BEFORE the clock starts: the metric is frontier
     // throughput, not synthetic-corpus generation speed

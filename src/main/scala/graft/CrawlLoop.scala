@@ -350,13 +350,17 @@ object CrawlLoop {
         val frontierSize = perBucket.values.sum
 
         // Delta snapshot: rewrite ONLY the changed buckets, clustered so each
-        // bucket lands in exactly one file; unchanged buckets keep their
-        // previous dirs by reference in bucketPaths.
+        // bucket lands in exactly one file (two with splitSnapshotsByPopped:
+        // the popped/unpopped split lets the next pop's !popped filter prune
+        // the crawled rows' files at the directory level); unchanged buckets
+        // keep their previous dirs by reference in bucketPaths.
         val fPath = frontierPath(stateDir, batch)
+        val snapCols =
+          if (cfg.splitSnapshotsByPopped) Seq("bucket", "popped") else Seq("bucket")
         timed("snapshot", batch) {
           merged.select("url", "host", "bucket", "priority", "popped")
             .repartition(col("bucket"))
-            .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(fPath)
+            .write.mode(SaveMode.Overwrite).partitionBy(snapCols: _*).parquet(fPath)
         }
         bucketPaths = bucketPaths ++
           byBucket.map(r => r.getInt(0).toString -> fPath).toMap
@@ -464,9 +468,11 @@ object CrawlLoop {
     if (changed.nonEmpty) {
       val slice = readFrontier(spark, m.bucketPaths.filter(kv => changed.contains(kv._1)))
       val outDir = s"$base-$k/frontier"
+      val snapCols =
+        if (cfg.splitSnapshotsByPopped) Seq("bucket", "popped") else Seq("bucket")
       Frontier.retire(slice, retireUrls)
         .repartition(col("bucket"))
-        .write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(outDir)
+        .write.mode(SaveMode.Overwrite).partitionBy(snapCols: _*).parquet(outDir)
       bucketPaths = bucketPaths ++ changed.map(_ -> outDir)
     }
     val filtersPaths = m.filtersPaths.zipWithIndex.map { case (p, i) =>

@@ -230,6 +230,27 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(finalRows.length == 1)
   }
 
+  test("popped-partitioned snapshots: identical crawl, resume, and metrics") {
+    // splitSnapshotsByPopped only changes the parquet layout (bucket/popped
+    // directory split for pop-scan pruning) — every result must be
+    // byte-equal to the default layout's
+    val a = tmpDir("split-a"); val b = tmpDir("split-b")
+    val resA = runEngine(a)
+    val resB = runEngine(b, cfg.copy(splitSnapshotsByPopped = true))
+    assert(resA.batches == resB.batches.map(_.copy(elapsedMs = 0))
+      .zip(resA.batches).map { case (x, y) => x.copy(elapsedMs = y.elapsedMs) })
+    def frontierOf(dir: String) =
+      Snapshots.readFrontier(spark, Snapshots.readCurrent(dir).get.bucketPaths)
+        .select("url", "host", "bucket", "priority", "popped").collect()
+        .map(_.toSeq).toSet
+    assert(frontierOf(a) == frontierOf(b))
+    // resume works across the split layout too
+    val c = tmpDir("split-c")
+    runEngine(c, cfg.copy(splitSnapshotsByPopped = true, maxBatches = 3))
+    runEngine(c, cfg.copy(splitSnapshotsByPopped = true))
+    assert(frontierOf(c) == frontierOf(a))
+  }
+
   test("delta snapshots: unchanged buckets carry forward by reference, changed ones rewrite") {
     // many buckets + a tiny batch => most buckets are untouched per superstep
     val dir = tmpDir("delta")
