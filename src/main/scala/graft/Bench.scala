@@ -640,7 +640,9 @@ object Bench {
 
     val kthr8 = levelN.ku / levelN.kt
     val kthr32 = level4N.ku / level4N.kt
-    val keff = (kthr32 / kthr8) / 4.0
+    // 0.0, not NaN, when the kernel phase was skipped (queries-only mode):
+    // NaN is not valid JSON and would break the driver's parse
+    val keff = if (kthr8 > 0) (kthr32 / kthr8) / 4.0 else 0.0
     val cpuEff = (levelN.cpu / level4N.cpu) / 4.0
     val strEff = (levelN.str / level4N.str) / 4.0
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, MultiModal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, MultiModal, Similarity, TextOps}
 
 /** Driver-oracle queries for the training-data pipeline operators
   * (dedup family, similarity search, text analysis, multimodal plumbing,
@@ -211,7 +211,39 @@ object QueriesData {
             .otherwise(0L))
         .groupBy(col("user_id"))
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
-    }))
+    }),
+
+    // ---- corpus curation (contamination / split / PII / repetition) --
+    // benchmark = every 97th doc standing in for an eval suite; flag any
+    // corpus doc sharing a word-3-shingle with it (broadcast semi-join on
+    // shingle hashes — the decontamination sweep's scale shape)
+    "q46_contamination" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      Curation.contaminationMarks(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", k = 3)
+    }),
+
+    "q47_hash_split" -> ((s, d) =>
+      Curation.hashSplit(tbl(s, d, "documents"), "doc_id", "v1",
+        trainMicro = 900000L, valMicro = 50000L)),
+
+    // the corpus has no native PII, so the query PLANTS a deterministic
+    // email+phone prefix per doc and redacts it back out — both engines
+    // build and strip the identical string, so the oracle checks the regex
+    // semantics end-to-end (the operator itself is corpus-agnostic)
+    "q48_pii_redact" -> ((s, d) => {
+      val planted = tbl(s, d, "documents").select(col("doc_id"),
+        concat(lit("u"), col("doc_id").cast("string"), lit("@example.com tel "),
+          lit("+1 555-00"), col("doc_id").cast("string"), lit(" "), col("text"))
+          .as("text"))
+      val cols = Curation.redactPii(col("text"))
+      planted.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("redacted_hash", TextOps.hash60(col("redacted")))
+        .drop("redacted")
+    }),
+
+    "q49_repetition" -> ((s, d) =>
+      Curation.repetitionStats(tbl(s, d, "documents"), "doc_id", "text")))
 
   def oracleSql: Map[String, String] = Map(
     "q16_exact_dedup" ->
@@ -432,5 +464,39 @@ object QueriesData {
     "q32_sessionize" ->
       ("WITH e AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events), " +
         "flags AS (SELECT user_id, CASE WHEN prev_ts IS NULL OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session FROM e) " +
-        "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events FROM flags GROUP BY user_id"))
+        "SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, CAST(count(*) AS BIGINT) AS n_events FROM flags GROUP BY user_id"),
+
+    // ---- corpus curation ---------------------------------------------
+    "q46_contamination" ->
+      (s"WITH $sqlShinglesCte, " +
+        s"shh AS (SELECT DISTINCT id, ${sqlHash60("shingle")} AS h FROM sh), " +
+        "bench AS (SELECT DISTINCT h FROM shh WHERE id % 97 = 0), " +
+        "hits AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM shh JOIN bench USING (h) GROUP BY id) " +
+        "SELECT d.doc_id AS id, coalesce(n, 0) AS n_contaminated, " +
+        "CAST(CASE WHEN coalesce(n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated " +
+        "FROM documents d LEFT JOIN hits ON hits.id = d.doc_id"),
+
+    "q47_hash_split" ->
+      (s"WITH b AS (SELECT doc_id AS id, ${sqlHash60("CAST(doc_id AS VARCHAR) || ':v1'")} % 1000000 AS bucket_micro FROM documents) " +
+        "SELECT id, bucket_micro, CASE WHEN bucket_micro < 900000 THEN 'train' " +
+        "WHEN bucket_micro < 950000 THEN 'val' ELSE 'test' END AS split FROM b"),
+
+    "q48_pii_redact" -> {
+      import graft.ops.Curation.{emailRe, phoneRe}
+      ("WITH planted AS (SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) || '@example.com tel +1 555-00' || CAST(doc_id AS VARCHAR) || ' ' || text AS t FROM documents), " +
+        s"ae AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails, " +
+        s"regexp_replace(t, '$emailRe', '<EMAIL>', 'g') AS t2 FROM planted) " +
+        s"SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t2, '$phoneRe')) AS BIGINT) AS n_phones, " +
+        sqlHash60(s"regexp_replace(t2, '$phoneRe', '<PHONE>', 'g')") + " AS redacted_hash FROM ae")
+    },
+
+    "q49_repetition" ->
+      (s"WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents), " +
+        "spine AS (SELECT doc_id AS id, CAST(len(ws) AS BIGINT) AS n_words, CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct FROM w), " +
+        "bg AS (SELECT doc_id AS id, ws[i] || ' ' || ws[i+1] AS gram FROM w, LATERAL unnest(generate_series(1, len(ws) - 1)) t(i) WHERE len(ws) >= 2), " +
+        "cnt AS (SELECT id, gram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY id, gram), " +
+        "agg AS (SELECT id, CAST(floor(max(c) * 1000000 / sum(c)) AS BIGINT) AS tb FROM cnt GROUP BY id) " +
+        "SELECT s.id, s.n_words, " +
+        "CAST(CASE WHEN n_words > 0 THEN floor((n_words - n_distinct) * 1000000 / n_words) ELSE 0 END AS BIGINT) AS dup_word_ratio_micro, " +
+        "coalesce(tb, 0) AS top_bigram_share_micro FROM spine s LEFT JOIN agg USING (id)"))
 }

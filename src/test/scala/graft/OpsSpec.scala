@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, MultiModal, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, MultiModal, Similarity, TextOps}
 
 /** Training-data pipeline operators: parity with independent pure-Scala
   * reimplementations, plus plan-shape assertions (pruning / no-shuffle
@@ -342,5 +342,71 @@ class OpsSpec extends AnyFunSuite {
     sampled.foreach { r =>
       assert(r.getInt(1) < frames(r.getLong(0)), "sampled frame index out of range")
     }
+  }
+
+  test("contamination: shared-shingle counts against a benchmark set") {
+    val bench = docs.filter(col("doc_id") === 0L)
+    val out = Curation.contaminationMarks(docs, "doc_id", "text", bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((7L, 1L)))  // the bench doc itself: all 7 shingles
+    assert(out(1L) == ((6L, 1L)))  // differs only in the last word -> 6 of 7
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((7L, 1L)))  // exact dup of the bench doc
+    assert(out(4L) == ((0L, 0L)))  // too short for 3-shingles
+    assert(out.size == texts.size) // clean docs keep their row (left join)
+  }
+
+  test("contamination: benchmark side broadcasts (no corpus-side shuffle before the hit filter)") {
+    val bench = docs.filter(col("doc_id") === 0L)
+    val plan = Curation.contaminationMarks(docs, "doc_id", "text", bench, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark join must broadcast:\n$plan")
+  }
+
+  test("hash split: deterministic, thresholded, matches the local hash") {
+    val out = Curation.hashSplit(docs, "doc_id", "v1", 900000L, 50000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.foreach { case (id, b, split) =>
+      assert(b == TextOps.hash60Local(s"$id:v1") % 1000000L)
+      val expected =
+        if (b < 900000L) "train" else if (b < 950000L) "val" else "test"
+      assert(split == expected)
+    }
+    val again = Curation.hashSplit(docs, "doc_id", "v1", 900000L, 50000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("pii redaction: emails then phones, counts disjoint, non-PII untouched") {
+    val in = Seq(
+      (0L, "contact john.doe@mail.example.org or +1 (555) 123-4567 now"),
+      (1L, "no pii in this row at all"),
+      (2L, "two mails a@b.co c.d@e.org one phone +44 20 7946 0958"))
+      .toDF("doc_id", "text")
+    val cols = Curation.redactPii(col("text"))
+    val out = in.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((1L, 1L, "contact <EMAIL> or <PHONE> now")))
+    assert(out(1L) == ((0L, 0L, "no pii in this row at all")))
+    assert(out(2L)._1 == 2L)
+    assert(out(2L)._2 == 1L)
+    assert(out(2L)._3 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
+  }
+
+  test("repetition stats: dup-word ratio and top-bigram share in micro-units") {
+    val in = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // 9 words, 8 distinct
+      (1L, "a b a b a b"),                                 // heavy repetition
+      (2L, "single"),                                      // no bigrams
+      (3L, "short text"))                                  // exactly 1 bigram
+      .toDF("doc_id", "text")
+    val out = Curation.repetitionStats(in, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((9L, 1000000L / 9L, 1000000L / 8L)))
+    // 6 words 2 distinct -> floor(4e6/6); 5 bigrams, "a b" x3 -> floor(3e6/5)
+    assert(out(1L) == ((6L, 4000000L / 6L, 600000L)))
+    assert(out(2L) == ((1L, 0L, 0L))) // no bigrams: share defaults to 0
+    assert(out(3L) == ((2L, 0L, 1000000L)))
   }
 }
