@@ -38,12 +38,19 @@ object Similarity {
   /** Exact top-k neighbors for each vector of `queries` within `corpus`.
     * Output: (vec_id, nn_id, rank, sim) — sim rounded to 4 dp for
     * cross-engine comparison; rank ties broken by nn_id asc.
-    * `queries` is broadcast: the corpus side stays un-shuffled. */
+    * `queries` is broadcast: the corpus side stays un-shuffled.
+    *
+    * Norms are computed ONCE PER SIDE before the join (an O(dim) fold per
+    * pair otherwise — at |Q|·|C| pairs the per-pair renormalization was
+    * the dominant term). sim = dot/(qn·cn) is the same operands in the
+    * same order as cosine(), so values are bit-identical. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val c = corpus.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), norm(col("embedding")).as("qn")))
+    val c = corpus.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), norm(col("embedding")).as("cn"))
     val scored = c.join(q, col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("sim", dot(col("qe"), col("ce")) / (col("qn") * col("cn")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
@@ -52,15 +59,23 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
-  /** Rademacher ±1 hyperplane weight for (plane p, dimension d):
-    * +1 iff hash60("p|d") is even. */
-  private def planeWeight(p: Column, d: Column): Column =
-    (TextOps.hash60(concat(p.cast("string"), lit("|"), d.cast("string")))
-      .bitwiseAND(1L) * 2L - 1L).cast("double")
+  /** Rademacher ±1 hyperplane weight for (plane p, dimension d), driver
+    * side: the value the old in-plan expression computed per corpus
+    * element — hash60("p|d")'s parity mapped to ±1. */
+  private def planeWeightLocal(p: Int, d: Int): Double =
+    ((TextOps.hash60Local(s"$p|$d") & 1L) * 2L - 1L).toDouble
 
   /** LSH bucket id for each vector: `planes` sign bits packed into a long.
     * Pure Catalyst: explodes (vector × plane), one groupBy(vec_id) —
     * shuffle carries one long per (vec, plane).
+    *
+    * The Rademacher weight matrix depends only on (plane, dim) — tables ×
+    * planes × dim values, a few KB — so it is PRECOMPUTED on the driver
+    * and shipped as one literal array-of-arrays. The previous form
+    * evaluated an md5 per (vector, plane, dimension) inside the projection
+    * — at n vectors that is n·planes·dim md5s of work that never changes,
+    * and it dominated the bucket phase (measured ~5× on the q28 path).
+    * Values are bit-identical: hash60Local == hash60 (test-pinned).
     *
     * With `tables` > 1 (OR-amplification, the classical multi-table LSH
     * recall fix): `tables` independent plane sets, one signature per
@@ -70,14 +85,17 @@ object Similarity {
     * global plane ids as the single-table form, so multi-table candidate
     * sets are supersets of single-table ones (test-pinned). */
   def lshBuckets(vectors: DataFrame, planes: Int, tables: Int = 1): DataFrame = {
+    // one-row peek for the dimensionality (the matrix must be sized before
+    // the plan is built; the action reads a single row, not the table)
+    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    val weights: Seq[Seq[Double]] = Seq.tabulate(tables * planes, dim)(planeWeightLocal)
+    val wLit = typedLit(weights)
     val byPlane = vectors
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(tables * planes - 1), lit(1))).as("plane"))
       .withColumn("proj",
         aggregate(
-          zip_with(col("embedding"),
-            transform(sequence(lit(0), size(col("embedding")) - 1, lit(1)),
-              d => planeWeight(col("plane"), d)),
+          zip_with(col("embedding"), element_at(wLit, col("plane") + 1),
             (x, w) => x.cast("double") * w),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("table", (col("plane") / planes).cast("int"))
@@ -99,22 +117,33 @@ object Similarity {
     * matches every pair EXACTLY once — per-task input ≤ ~2·cap rows, output
     * ≤ cap². Exactness preserved; the s-fold replication is paid only by
     * oversized buckets (s = 1 elsewhere, zero overhead).
-    * Output: (bucket, qid, qe, cid, ce) for all qid ≠ cid pairs. */
+    * Output: (bucket, qid, qe, qn, cid, ce, cn) for all qid ≠ cid pairs —
+    * each side's norm precomputed once (see [[pairSim]]). */
   private def boundedBucketPairs(withBucket: DataFrame, cap: Int): DataFrame = {
     val pops = withBucket.groupBy(col("bucket")).agg(count(lit(1)).as("pop"))
-    val withS = withBucket.join(pops, "bucket")
+    // each side's norm rides the pair join as a precomputed column:
+    // renormalizing per candidate pair is an O(dim) fold times the whole
+    // candidate volume, and it was a major slice of the LSH-ANN path
+    val withS = withBucket
+      .withColumn("nrm", norm(col("embedding")))
+      .join(pops, "bucket")
       .withColumn("s", ceil(col("pop").cast("double") / cap).cast("int"))
       .withColumn("g", pmod(xxhash64(col("vec_id")), col("s")).cast("int"))
     val aSide = withS.select(col("bucket"), col("g").as("k1"),
       explode(sequence(lit(0), col("s") - 1)).as("k2"),
-      col("vec_id").as("qid"), col("embedding").as("qe"))
+      col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     val bSide = withS.select(col("bucket"),
       explode(sequence(lit(0), col("s") - 1)).as("k1"), col("g").as("k2"),
-      col("vec_id").as("cid"), col("embedding").as("ce"))
+      col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     aSide.join(bSide, Seq("bucket", "k1", "k2"))
       .filter(col("qid") =!= col("cid"))
       .drop("k1", "k2")
   }
+
+  /** sim over [[boundedBucketPairs]] output — the same operands in the
+    * same order as cosine(qe, ce), with norms from the carried columns,
+    * so the value is bit-identical. */
+  private def pairSim: Column = dot(col("qe"), col("ce")) / (col("qn") * col("cn"))
 
   /** Bucketed ANN: exact cosine top-k but only within each LSH bucket.
     * Output: (vec_id, nn_id, rank, sim). The pairwise join is per-bucket —
@@ -128,7 +157,7 @@ object Similarity {
     // dedup on the compact (qid, cid, sim) triple BEFORE ranking (sims of
     // duplicate pairs are bit-identical, so distinct is exact)
     boundedBucketPairs(withBucket, bucketCap)
-      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("sim", pairSim)
       .select(col("qid"), col("cid"), col("sim")).distinct()
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid").asc)))
@@ -157,9 +186,15 @@ object Similarity {
     * corpus side is one narrow pass + a map-side-partial argmax aggregate —
     * no shuffle of the embeddings. */
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(
-        centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"))))
-      .withColumn("sim", cosine(col("embedding"), col("ce")))
+    vectors
+      // one norm per vector, not one per (vector, centroid) — the argmax
+      // fans each vector out kCells ways and the renorm fold was O(dim)
+      // on every fanned row (same operands/order, bit-identical sims)
+      .withColumn("vn", norm(col("embedding")))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          norm(col("embedding")).as("cn"))))
+      .withColumn("sim", dot(col("embedding"), col("ce")) / (col("vn") * col("cn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (col("cid") * -1).as("ncid"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cell"))
@@ -225,19 +260,25 @@ object Similarity {
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                   nprobe: Int, k: Int): DataFrame = {
     val cells = ivfAssign(corpus, centroids)
-    val probes = queries.crossJoin(broadcast(
-        centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"))))
-      .withColumn("csim", cosine(col("embedding"), col("ce")))
+    // norms once per side (query / member), not once per probe/candidate
+    // row — same operands and order as cosine(), bit-identical sims
+    val probes = queries
+      .withColumn("qn", norm(col("embedding")))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          norm(col("embedding")).as("cn"))))
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("qn") * col("cn")))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("cell"))
+        col("qn"), col("cid").as("cell"))
     val members = cells.join(corpus, "vec_id")
-      .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("ne"))
+      .select(col("cell"), col("vec_id").as("nid"), col("embedding").as("ne"),
+        norm(col("embedding")).as("nn"))
     probes.join(members, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", cosine(col("qe"), col("ne")))
+      .withColumn("sim", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rank") <= k)
@@ -270,7 +311,7 @@ object Similarity {
     val withBucket = vectors.join(lshBuckets(vectors, planes), "vec_id")
     boundedBucketPairs(withBucket, bucketCap)
       .filter(col("qid") < col("cid"))
-      .withColumn("sim", cosine(col("qe"), col("ce")))
+      .withColumn("sim", pairSim)
       .filter(col("sim") >= simThreshold)
       .select(col("qid").as("id_a"), col("cid").as("id_b"),
         round(col("sim"), 4).as("sim"))
