@@ -321,52 +321,50 @@ object Bench {
     * understating N->4N scaling efficiency (the cluster being simulated
     * scales its GC capacity with executor count).
     *
-    * Phases: "main" = string control + kernel + cpu control + loop sweep;
-    * "looplong" = ONE timed rep of the long-superstep point (after an
-    * untimed priming mini-crawl) with per-superstep timings; "queries" =
-    * per-query timings (min of 2 reps) + ANN recall at full width. */
+    * Phases: "kernel" = string control + kernel + cpu control; "sweep" =
+    * the small-corpus loop sweep; "looplong" = ONE timed rep of the
+    * long-superstep point (after an untimed priming mini-crawl) with
+    * per-superstep timings; "queries" = per-query timings (min of 2 reps)
+    * + ANN recall at full width. Kernel and sweep are SEPARATE children so
+    * the orchestrator can run each measurement's two levels back-to-back
+    * (the combined main child took ~5 min per level, and box-load drift
+    * across that gap biased the kernel headline the same way it biased the
+    * r3 loop ratio — pairing is the same fix). */
   private def runLevel(p: Int, outPath: String, phase: String): Unit = {
     val w = new java.io.PrintWriter(outPath)
     try phase match {
       case "looplong" => runLooplong(p, w)
       case "queries"  => runQueries(w)
-      case _          => runMain(p, w)
+      case "sweep"    => runSweep(p, w)
+      case _          => runKernelPhase(p, w)
     } finally w.close()
   }
 
-  private def runMain(p: Int, w: java.io.PrintWriter): Unit = {
-    val benchMode = benchModeEnv
-    val kernelOnly = benchMode == "kernel"
-    val loopOnly = benchMode == "loop"
+  private def runKernelPhase(p: Int, w: java.io.PrintWriter): Unit = {
     val pLow = pLowEnv
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt
-    val nSeeds = math.max(nDocs / 12, 2)
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
     val kl = kf * 2
     val cpuNCtl = sys.env.getOrElse("SPARK_GRAFT_CPU_CONTROL_N", "40000000").toLong
-    val sweepSpec = sweepSpecEnv
-
-    val str =
-      if (kernelOnly) 1.0 else timedParseControl(150000, p, reps = 3)
+    val str = timedParseControl(150000, p, reps = 3)
     val s = session(p)
-    val (ku, kt) =
-      if (loopOnly) (0L, 1.0)
-      else timedKernel(s, kf, kl, reps = if (p == pLow) 2 else 5)
-    val cpu =
-      if (loopOnly) 1.0
-      else timedCpuControl(s, cpuNCtl, reps = if (p == pLow) 2 else 3)
-    val loops: Seq[(Int, Int, Long, Double)] =
-      if (kernelOnly) Seq.empty
-      else sweepSpec.map { nb =>
-        val (u, t) = timedCrawl(s, nDocs, nSeeds, nb, nDocs / nb)
-        (nb, nDocs, u.sum, t.sum)
-      }
+    val (ku, kt) = timedKernel(s, kf, kl, reps = if (p == pLow) 2 else 5)
+    val cpu = timedCpuControl(s, cpuNCtl, reps = if (p == pLow) 2 else 3)
     s.stop()
     w.println(f"str=$str%.6f")
     w.println(s"ku=$ku")
     w.println(f"kt=$kt%.6f")
     w.println(f"cpu=$cpu%.6f")
-    loops.foreach { case (nb, nd, u, t) => w.println(f"loop=$nb,$nd,$u,$t%.6f") }
+  }
+
+  private def runSweep(p: Int, w: java.io.PrintWriter): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt
+    val nSeeds = math.max(nDocs / 12, 2)
+    val s = session(p)
+    sweepSpecEnv.foreach { nb =>
+      val (u, t) = timedCrawl(s, nDocs, nSeeds, nb, nDocs / nb)
+      w.println(f"loop=$nb,$nDocs,${u.sum},${t.sum}%.6f")
+    }
+    s.stop()
   }
 
   /** One long-point rep: priming mini-crawl (untimed — flushes per-JVM
@@ -461,18 +459,19 @@ object Bench {
     lines
   }
 
-  private def spawnLevel(p: Int): LevelResult = {
-    val lines = spawnChild(p, "main")
+  private def spawnKernel(p: Int): (Double, Long, Double, Double) = {
+    val lines = spawnChild(p, "kernel")
     def v(k: String): String =
-      lines.find(_.startsWith(k + "=")).getOrElse(sys.error(s"level-$p: no $k"))
+      lines.find(_.startsWith(k + "=")).getOrElse(sys.error(s"kernel-$p: no $k"))
         .drop(k.length + 1)
-    val loops = lines.filter(_.startsWith("loop=")).map { l =>
+    (v("str").toDouble, v("ku").toLong, v("kt").toDouble, v("cpu").toDouble)
+  }
+
+  private def spawnSweep(p: Int): Seq[(Int, Int, Long, Double)] =
+    spawnChild(p, "sweep").filter(_.startsWith("loop=")).map { l =>
       val Array(nb, nd, u, t) = l.drop(5).split(",")
       (nb.toInt, nd.toInt, u.toLong, t.toDouble)
     }
-    LevelResult(v("str").toDouble, v("ku").toLong, v("kt").toDouble,
-      v("cpu").toDouble, loops)
-  }
 
   private def spawnLooplong(p: Int): LongRep = {
     val lines = spawnChild(p, "looplong")
@@ -630,13 +629,20 @@ object Bench {
       if (kernelOnly || loopOnly) (Seq.empty[(String, Double)], None)
       else spawnQueries()
 
-    // ---- part 3: kernel + controls + loop sweep per scaling level ----
-    val levelN =
-      if (queriesOnly) LevelResult(1.0, 0L, 1.0, 1.0, Seq.empty)
-      else spawnLevel(pLow)
-    val level4N =
-      if (queriesOnly) LevelResult(1.0, 0L, 1.0, 1.0, Seq.empty)
-      else spawnLevel(pHigh)
+    // ---- part 3: kernel + controls, then the loop sweep — each
+    // measurement's two levels spawn BACK-TO-BACK (its own child pair), so
+    // box-load drift hits both levels of a ratio near-equally instead of
+    // biasing the headline (the same pairing fix as the long point) ----
+    val noKernel = queriesOnly || loopOnly
+    val noSweep = queriesOnly || kernelOnly || sweepSpecEnv.isEmpty
+    val (kN, k4) =
+      if (noKernel) ((1.0, 0L, 1.0, 1.0), (1.0, 0L, 1.0, 1.0))
+      else (spawnKernel(pLow), spawnKernel(pHigh))
+    val (sweepN, sweep4) =
+      if (noSweep) (Seq.empty[(Int, Int, Long, Double)], Seq.empty[(Int, Int, Long, Double)])
+      else (spawnSweep(pLow), spawnSweep(pHigh))
+    val levelN = LevelResult(kN._1, kN._2, kN._3, kN._4, sweepN)
+    val level4N = LevelResult(k4._1, k4._2, k4._3, k4._4, sweep4)
 
     val kthr8 = levelN.ku / levelN.kt
     val kthr32 = level4N.ku / level4N.kt
