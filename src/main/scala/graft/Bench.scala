@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *     Catalyst prune the measured work); plus ANN recall@3.
   *
   *  3. The frontier KERNEL (BASELINE.json `metric`: URLs scheduled+deduped
-  *     per second, no checkpoint IO), the no-Spark string/CPU scaling
-  *     controls, and the small-corpus loop sweep — per-level capped child
-  *     JVMs as before.
+  *     per second, no checkpoint IO) with the no-Spark string/CPU scaling
+  *     controls — ABBA (N, 4N) child-JVM pairs with the same
+  *     median-of-pair-ratios headline as the loop criterion — then the
+  *     small-corpus loop sweep as one back-to-back child pair.
   *
   * Prints ONE JSON line; the per-query map leads and the scaling criteria
   * land at the END of the line (the driver keeps a bounded stdout TAIL).
@@ -292,6 +293,13 @@ object Bench {
   private def forceEval(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   /** Env-derived settings shared by the orchestrator and level children. */
   private def pLowEnv: Int = sys.env.getOrElse("SPARK_GRAFT_P_LOW", "2").toInt
   private def benchModeEnv: String =
@@ -348,10 +356,13 @@ object Bench {
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
     val kl = kf * 2
     val cpuNCtl = sys.env.getOrElse("SPARK_GRAFT_CPU_CONTROL_N", "40000000").toLong
-    val str = timedParseControl(150000, p, reps = 3)
+    // Internal reps are the WITHIN-window burst filter; the cross-window
+    // drift filter is the orchestrator's median over ABBA pairs, so each
+    // child stays lean (3 pairs of lean children beat 1 pair of fat ones).
+    val str = timedParseControl(150000, p, reps = 2)
     val s = session(p)
-    val (ku, kt) = timedKernel(s, kf, kl, reps = if (p == pLow) 2 else 5)
-    val cpu = timedCpuControl(s, cpuNCtl, reps = if (p == pLow) 2 else 3)
+    val (ku, kt) = timedKernel(s, kf, kl, reps = if (p == pLow) 2 else 3)
+    val cpu = timedCpuControl(s, cpuNCtl, reps = 2)
     s.stop()
     w.println(f"str=$str%.6f")
     w.println(s"ku=$ku")
@@ -638,9 +649,29 @@ object Bench {
     // biasing the headline (the same pairing fix as the long point) ----
     val noKernel = queriesOnly || loopOnly
     val noSweep = queriesOnly || kernelOnly || sweepSpecEnv.isEmpty
+    // The kernel is the BASELINE headline, so it gets the same estimator
+    // as the loop criterion: ABBA (N, 4N) child-JVM pairs, headline
+    // efficiency = MEDIAN of the per-pair ratios (one loaded window can
+    // no longer poison the recorded number — the 10:30 full run's single
+    // kernel pair read 0.771 under heavy box load while its own controls
+    // read 0.89–0.94). Throughput still reports the per-level best (min
+    // time) across pairs; controls take the min per level likewise.
+    val nKernelPairs =
+      sys.env.getOrElse("SPARK_GRAFT_KERNEL_PAIRS", "3").toInt
+    val kernelPairs: Seq[((Double, Long, Double, Double), (Double, Long, Double, Double))] =
+      if (noKernel) Seq.empty
+      else (1 to nKernelPairs).map { i =>
+        System.err.println(s"[bench] kernel pair $i/$nKernelPairs")
+        if (i % 2 == 1) (spawnKernel(pLow), spawnKernel(pHigh))
+        else { val hi = spawnKernel(pHigh); (spawnKernel(pLow), hi) }
+      }
     val (kN, k4) =
       if (noKernel) ((1.0, 0L, 1.0, 1.0), (1.0, 0L, 1.0, 1.0))
-      else (spawnKernel(pLow), spawnKernel(pHigh))
+      else {
+        def best(side: Seq[(Double, Long, Double, Double)]) =
+          (side.map(_._1).min, side.head._2, side.map(_._3).min, side.map(_._4).min)
+        (best(kernelPairs.map(_._1)), best(kernelPairs.map(_._2)))
+      }
     val (sweepN, sweep4) =
       if (noSweep) (Seq.empty[(Int, Int, Long, Double)], Seq.empty[(Int, Int, Long, Double)])
       else (spawnSweep(pLow), spawnSweep(pHigh))
@@ -649,9 +680,22 @@ object Bench {
 
     val kthr8 = levelN.ku / levelN.kt
     val kthr32 = level4N.ku / level4N.kt
+    // Per-pair kernel ratios (ku is level-independent, so the ratio is a
+    // pure time ratio); headline = median over the ABBA pairs, same
+    // estimator as the loop criterion. `efficiency_best` (best-time ratio,
+    // the pre-r4 estimator) rides alongside for lineage comparability.
+    val kernelPairRatios = kernelPairs.map { case (lo, hi) =>
+      (lo._3 / hi._3) / 4.0
+    }
     // 0.0, not NaN, when the kernel phase was skipped (queries-only mode):
     // NaN is not valid JSON and would break the driver's parse
-    val keff = if (kthr8 > 0) (kthr32 / kthr8) / 4.0 else 0.0
+    val keffBest = if (kthr8 > 0) (kthr32 / kthr8) / 4.0 else 0.0
+    val keff =
+      if (kernelPairRatios.nonEmpty) median(kernelPairRatios) else keffBest
+    val kernelPairsStr = kernelPairRatios.zip(kernelPairs).map {
+      case (r, (lo, hi)) =>
+        f"""{"sec_pN":${lo._3}%.2f,"sec_p4N":${hi._3}%.2f,"ratio":$r%.3f}"""
+    }.mkString("[", ",", "]")
     val cpuEff = (levelN.cpu / level4N.cpu) / 4.0
     val strEff = (levelN.str / level4N.str) / 4.0
 
@@ -668,12 +712,6 @@ object Bench {
 
     // Long-point statistics over the steady-state supersteps (>= 1; the
     // bootstrap superstep is structurally different, see runLooplong).
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.isEmpty) 0.0
-      else if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
     val longStr = (longPoint, pairs) match {
       case (Some((d, b)), ps) if ps.nonEmpty =>
         val urlsSteady = ps.head._1.urls.drop(1).sum // deterministic per level
@@ -737,6 +775,6 @@ object Bench {
     // per-query map (the longest, most truncatable section) leads; the
     // scaling criteria and totals land at the END of the line.
     println(
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}""")
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}""")
   }
 }

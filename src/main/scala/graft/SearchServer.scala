@@ -11,9 +11,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * term_count, score}], search_time} (src/bin/query.rs:294-321).
   *
   * Re-expressed over the Spark index with the JDK's built-in HttpServer
-  * (zero extra dependencies — the sandbox build is offline) and JSON output
-  * instead of an HTML template: the driver-facing substitution for a
-  * library whose callers are programs, not browsers. Each request runs
+  * (zero extra dependencies — the sandbox build is offline). Default
+  * output is JSON — the right default for a library whose callers are
+  * programs — with `format=html` rendering the reference's results page
+  * (search form, scanned-count line, one anchor per result with
+  * (score, term_count) — templates/search.html.tera). Each request runs
   * [[Search.search]] — the same distributed plan the q13/q34 oracles pin —
   * against the postings/docmeta tables a crawl wrote; `count` is the
   * reference's: docs scanned = shard size × shards holding every query
@@ -33,9 +35,20 @@ object SearchServer {
     b.append('"').toString
   }
 
-  /** One query against the index tables, rendered as the response JSON. */
-  def searchJson(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
-                 query: String, topK: Int, termCountGate: Int): String = {
+  /** Minimal HTML escape for text and quoted-attribute positions. */
+  private def hstr(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
+
+  /** One query's raw response data: (scanned count, result rows, ms). */
+  private def runQuery(spark: SparkSession, postings: DataFrame,
+                       docmeta: DataFrame, query: String, topK: Int,
+                       termCountGate: Int): (Long, Array[org.apache.spark.sql.Row], Long) = {
     val t0 = System.nanoTime()
     val (rows, scanned) =
       if (Search.splitQuery(query).isEmpty)
@@ -45,13 +58,47 @@ object SearchServer {
           spark, postings, docmeta, query, topK, termCountGate)
         (res.collect(), scan.first().getLong(0))
       }
-    val ms = (System.nanoTime() - t0) / 1000000L
+    (scanned, rows, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  /** One query against the index tables, rendered as the response JSON. */
+  def searchJson(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
+                 query: String, topK: Int, termCountGate: Int): String = {
+    val (scanned, rows, ms) =
+      runQuery(spark, postings, docmeta, query, topK, termCountGate)
     // score/term_count are numeric but their width follows the caller's
     // docmeta schema (int in the demo, long in the oracle fixtures)
     val results = rows.map { r =>
       s"""{"url":${jstr(r.getString(0))},"score":${r.get(1)},"term_count":${r.get(2)}}"""
     }.mkString(",")
     s"""{"count":$scanned,"results":[$results],"search_time_ms":$ms}"""
+  }
+
+  /** The reference's results page (templates/search.html.tera): a search
+    * form, "Scanned through N pages in Tms", and one anchor per result
+    * with (score, term_count). Served for `format=html`. */
+  def searchHtml(spark: SparkSession, postings: DataFrame, docmeta: DataFrame,
+                 query: String, topK: Int, termCountGate: Int): String = {
+    val (scanned, rows, ms) =
+      runQuery(spark, postings, docmeta, query, topK, termCountGate)
+    val items = rows.map { r =>
+      val u = hstr(r.getString(0))
+      s"""      <div><a href="$u">$u</a> (${r.get(1)}, ${r.get(2)})</div>"""
+    }.mkString("\n")
+    s"""<html>
+       |  <head><title>Search results</title></head>
+       |  <body>
+       |    <form action="/search" method="get">
+       |      <input type="text" name="query" value="${hstr(query)}">
+       |      <input type="hidden" name="format" value="html">
+       |      <input type="submit">
+       |    </form>
+       |    <h1>Search results</h1>
+       |    <p>Scanned through $scanned pages in ${ms}ms</p>
+       |$items
+       |  </body>
+       |</html>
+       |""".stripMargin
   }
 
   /** Start serving `GET /search?query=...` on `port` (0 = ephemeral; read
@@ -62,21 +109,28 @@ object SearchServer {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").iterator
+          .map(_.split("=", 2))
+          .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }
+          .toMap
+        val html = params.get("format").contains("html")
         val resp =
           try {
-            val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-              .split("&").iterator
-              .map(_.split("=", 2))
-              .collectFirst { case Array("query", v) =>
-                URLDecoder.decode(v, UTF_8) }
-              .getOrElse("")
-            (200, searchJson(spark, postings, docmeta, q, topK, termCountGate))
+            val q = params.getOrElse("query", "")
+            val body =
+              if (html) searchHtml(spark, postings, docmeta, q, topK, termCountGate)
+              else searchJson(spark, postings, docmeta, q, topK, termCountGate)
+            (200, body)
           } catch {
+            case e: Exception if html =>
+              (500, s"<html><body>error: ${hstr(String.valueOf(e.getMessage))}</body></html>")
             case e: Exception =>
               (500, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
           }
         val bytes = resp._2.getBytes(UTF_8)
-        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.getResponseHeaders.set("Content-Type",
+          if (html) "text/html; charset=utf-8" else "application/json")
         ex.sendResponseHeaders(resp._1, bytes.length)
         ex.getResponseBody.write(bytes)
         ex.close()

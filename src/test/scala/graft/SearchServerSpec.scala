@@ -68,6 +68,31 @@ class SearchServerSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("format=html renders the reference's results page") {
+    val (postings, docmeta) = tables()
+    val server = SearchServer.start(spark, postings, docmeta, port = 0,
+      topK = 20, termCountGate = 0)
+    try {
+      val port = server.getAddress.getPort
+      val (code, body) =
+        get(s"http://localhost:$port/search?query=spark%20frontier&format=html")
+      assert(code == 200)
+      // the reference template's structure (templates/search.html.tera):
+      // form, scanned-count line, one anchor per result with (score, tc)
+      assert(body.contains("<form") && body.contains("name=\"query\""))
+      assert(body.contains("Scanned through 3 pages in"))
+      val expect = Search.search(spark, postings, docmeta,
+        "spark frontier", topK = 20, termCountGate = 0).collect()
+      expect.foreach { r =>
+        val u = r.getString(0).replace("\"", "&quot;") // html-escaped
+        assert(body.contains(s"""<a href="$u">$u</a> (${r.get(1)}, ${r.get(2)})"""))
+      }
+      // anchors appear in rank order
+      val anchors = """<a href="([^"]*)"""".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      assert(anchors == expect.map(_.getString(0).replace("\"", "&quot;")).toSeq)
+    } finally server.stop(0)
+  }
+
   test("count exceeds topK when more docs were scanned than returned") {
     val (postings, docmeta) = tables()
     // topK = 1 truncates the result list; the reference's count still
