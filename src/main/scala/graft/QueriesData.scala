@@ -243,7 +243,26 @@ object QueriesData {
     }),
 
     "q49_repetition" -> ((s, d) =>
-      Curation.repetitionStats(tbl(s, d, "documents"), "doc_id", "text")))
+      Curation.repetitionStats(tbl(s, d, "documents"), "doc_id", "text")),
+
+    // sliding 32-token windows every 24 tokens (25% overlap) — the
+    // context-window chunking shape; chunk content pinned by hash
+    "q50_chunk_tokens" -> ((s, d) =>
+      Curation.chunkTokens(tbl(s, d, "documents"), "doc_id", "text",
+        window = 32, stride = 24)),
+
+    // concat-and-cut packing into 256-token sequences over 8 hash shards
+    "q51_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(tbl(s, d, "documents"), "doc_id", "text",
+        budget = 256L, nShards = 8, salt = "pack1")),
+
+    // mixture recipe: keep all of src0, 25% of src1, none of src2, 75% of
+    // src3, 50% of everything else
+    "q52_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(tbl(s, d, "documents"), "doc_id", "source",
+        Seq("src0" -> 1000000L, "src1" -> 250000L, "src2" -> 0L,
+          "src3" -> 750000L),
+        defaultMicro = 500000L, salt = "mix1")))
 
   def oracleSql: Map[String, String] = Map(
     "q16_exact_dedup" ->
@@ -498,5 +517,32 @@ object QueriesData {
         "agg AS (SELECT id, CAST(floor(max(c) * 1000000 / sum(c)) AS BIGINT) AS tb FROM cnt GROUP BY id) " +
         "SELECT s.id, s.n_words, " +
         "CAST(CASE WHEN n_words > 0 THEN floor((n_words - n_distinct) * 1000000 / n_words) ELSE 0 END AS BIGINT) AS dup_word_ratio_micro, " +
-        "coalesce(tb, 0) AS top_bigram_share_micro FROM spine s LEFT JOIN agg USING (id)"))
+        "coalesce(tb, 0) AS top_bigram_share_micro FROM spine s LEFT JOIN agg USING (id)"),
+
+    "q50_chunk_tokens" ->
+      (s"WITH w AS (SELECT doc_id, $sqlWords AS ws FROM documents), " +
+        "c AS (SELECT doc_id AS id, ws, s FROM w, " +
+        "LATERAL unnest(generate_series(1, greatest(len(ws) - 32 + 24, 1), 24)) t(s) WHERE len(ws) >= 1) " +
+        "SELECT id, CAST((s - 1) // 24 AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS start_word, " +
+        "CAST(least(32, len(ws) - s + 1) AS BIGINT) AS n_tokens, " +
+        sqlHash60("array_to_string(list_slice(ws, s, least(s + 31, len(ws))), ' ')") +
+        " AS chunk_hash FROM c"),
+
+    "q51_pack_sequences" ->
+      (s"WITH t AS (SELECT doc_id AS id, CAST(len($sqlWords) AS BIGINT) AS n_tokens, " +
+        sqlHash60("CAST(doc_id AS VARCHAR) || ':pack1'") + " % 8 AS shard FROM documents), " +
+        "p AS (SELECT id, shard, n_tokens, CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id) AS BIGINT) AS cum " +
+        "FROM t WHERE n_tokens > 0) " +
+        "SELECT id, shard, n_tokens, cum - n_tokens AS begin_tok, " +
+        "(cum - n_tokens) // 256 AS seq_first, (cum - 1) // 256 AS seq_last, " +
+        "(cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS n_seqs FROM p"),
+
+    "q52_mixture_sample" -> {
+      val wCase = "CASE \"key\" WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 250000 " +
+        "WHEN 'src2' THEN 0 WHEN 'src3' THEN 750000 ELSE 500000 END"
+      (s"WITH b AS (SELECT doc_id AS id, source AS \"key\", " +
+        sqlHash60("CAST(doc_id AS VARCHAR) || ':mix1'") + " % 1000000 AS bucket_micro FROM documents) " +
+        s"SELECT id, \"key\", bucket_micro, CAST($wCase AS BIGINT) AS weight_micro, " +
+        s"CAST(CASE WHEN bucket_micro < ($wCase) THEN 1 ELSE 0 END AS BIGINT) AS kept FROM b")
+    })
 }

@@ -124,6 +124,117 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Token-window chunking (context-window preparation)
+  // ---------------------------------------------------------------------
+
+  /** Splits each document's token stream into fixed-size sliding windows —
+    * the chunking step that prepares a corpus for a fixed-context model
+    * (RAG passage windows, long-doc pretraining shards). `window` tokens
+    * per chunk, starts every `stride` tokens (stride < window ⇒ overlap);
+    * the final chunk is the first one whose span reaches the last token
+    * (shorter than `window` when the doc doesn't divide evenly), and no
+    * start is emitted past it.
+    *
+    * Output: one row per chunk — (id, chunk_idx, start_word, n_tokens,
+    * chunk_hash) with chunk_hash = hash60 of the space-joined window, so
+    * the oracle pins the exact chunk CONTENT without shipping megabytes of
+    * repeated text through the correctness gate.
+    *
+    * Plan shape at 100 TB: a narrow projection + explode — NO shuffle, no
+    * window function, no state; chunking composes with the scan and
+    * parallelizes per-document. The starts array is O(n_words / stride). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val n = size(col("__ws"))
+    // last start S satisfies S + window - 1 >= n_words; with
+    // stride <= window this is exactly sequence(1, n - window + stride)
+    // clamped up to 1 (short docs get one whole-doc chunk)
+    val starts = sequence(lit(1),
+      greatest(n - lit(window) + lit(stride), lit(1)), lit(stride))
+    docs.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= 1)
+      .select(col("id"), col("__ws"), posexplode(starts).as(Seq("__i", "__s")))
+      .select(col("id"),
+        col("__i").cast("long").as("chunk_idx"),
+        col("__s").cast("long").as("start_word"),
+        slice(col("__ws"), col("__s"), lit(window)).as("__chunk"))
+      .select(col("id"), col("chunk_idx"), col("start_word"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        TextOps.hash60(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Sequence packing (concat-and-cut context assembly)
+  // ---------------------------------------------------------------------
+
+  /** GPT-style sequence packing: documents are concatenated in a
+    * deterministic order and cut into training sequences of exactly
+    * `budget` tokens, documents crossing cut points (the standard packed
+    * pretraining layout — the alternative no-split greedy packer is a
+    * sequential recurrence that cannot scale past one partition). The
+    * concatenation order is (shard, id): each doc is hashed into one of
+    * `nShards` deterministic shards and packing runs INDEPENDENTLY per
+    * shard, so the window sort is partition-local — at 100 TB you raise
+    * nShards until a shard's (id, n_tokens) pairs fit a task, instead of
+    * funneling the corpus through one global ordering.
+    *
+    * Output: one row per (non-empty) doc — (id, shard, n_tokens,
+    * begin_tok (its offset in the shard's token stream), seq_first,
+    * seq_last (the packed-sequence ids it lands in), n_seqs). Zero-token
+    * docs contribute nothing to a packed stream and are dropped.
+    *
+    * Shuffle budget: ONE exchange on shard (the window partition key);
+    * token counting is narrow. All math integer ⇒ oracle-exact. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long, nShards: Int, salt: String): DataFrame = {
+    require(budget >= 1 && nShards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+    docs.select(col(idCol).as("id"),
+        size(TextOps.words(col(textCol))).cast("long").as("n_tokens"),
+        pmod(TextOps.hash60(concat(col(idCol).cast("string"), lit(":" + salt))),
+          lit(nShards.toLong)).as("shard"))
+      .where(col("n_tokens") > 0L)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("begin_tok", col("__cum") - col("n_tokens"))
+      // integer div (not floor of a double ratio): exact at any corpus size
+      .withColumn("seq_first", expr(s"begin_tok div ${budget}L"))
+      .withColumn("seq_last", expr(s"(__cum - 1L) div ${budget}L"))
+      .select(col("id"), col("shard"), col("n_tokens"), col("begin_tok"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Domain-mixture sampling
+  // ---------------------------------------------------------------------
+
+  /** Deterministic per-source downsampling to a target corpus mixture —
+    * the "N% of CommonCrawl, all of Wikipedia" knob of a pretraining data
+    * recipe. Each doc keeps iff its [[splitBucketMicro]] hash bucket falls
+    * under its source's weight (in micro-units: 1e6 = keep all, 0 = drop
+    * all), so the sample is uniform WITHIN each source, reproducible
+    * across engines/reruns/repartitioning, and composes with [[hashSplit]]
+    * via a different salt (independent hashes).
+    *
+    * Output: (id, key, bucket_micro, weight_micro, kept). Pure narrow
+    * projection — no shuffle, no driver state; the weights map is a plan
+    * literal (a mixture recipe is dozens of sources, not millions). */
+  def mixtureSample(docs: DataFrame, idCol: String, keyCol: String,
+                    weightsMicro: Seq[(String, Long)], defaultMicro: Long,
+                    salt: String): DataFrame = {
+    val wmap = map(weightsMicro.flatMap { case (k, v) =>
+      Seq(lit(k), lit(v)) }: _*)
+    docs.select(col(idCol).as("id"), col(keyCol).as("key"),
+        splitBucketMicro(col(idCol), salt).as("bucket_micro"))
+      .withColumn("weight_micro",
+        coalesce(element_at(wmap, col("key")), lit(defaultMicro)))
+      .withColumn("kept", (col("bucket_micro") < col("weight_micro")).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------
   // Repetition signals (Gopher-style quality filters)
   // ---------------------------------------------------------------------
 

@@ -394,6 +394,92 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._3 == "two mails <EMAIL> <EMAIL> one phone <PHONE>")
   }
 
+  test("chunking: window/stride coverage, content hashes, naive parity") {
+    val in = Seq(
+      (0L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (1L, "a b c d"),                                // exactly one window
+      (2L, "x"),                                      // shorter than window
+      (3L, ""))                                       // empty -> no chunks
+      .toDF("doc_id", "text")
+    val out = Curation.chunkTokens(in, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // naive chunker: starts 1, 1+stride, ... until a window reaches the end
+    def naive(id: Long, ws: Seq[String]): Seq[(Long, Long, Long, Long, Long)] =
+      if (ws.isEmpty) Seq.empty
+      else Iterator.iterate(1)(_ + 3)
+        .takeWhile(s => s == 1 || s - 3 + 4 <= ws.length)
+        .zipWithIndex.map { case (s, i) =>
+          val chunk = ws.slice(s - 1, s - 1 + 4)
+          (id, i.toLong, s.toLong, chunk.length.toLong,
+            TextOps.hash60Local(chunk.mkString(" ")))
+        }.toSeq
+    val expect = Seq(
+      0L -> (1 to 10).map(i => s"w$i"),
+      1L -> Seq("a", "b", "c", "d"),
+      2L -> Seq("x"),
+      3L -> Seq.empty[String]).flatMap { case (id, ws) => naive(id, ws) }
+    assert(out.sorted.toSeq == expect.sorted)
+    // 10 words / window 4 / stride 3 -> starts 1,4,7 (7+4-1=10 reaches the
+    // end; start 10 is NOT emitted), last chunk full width here
+    assert(out.count(_._1 == 0L) == 3)
+    // chunking is a narrow op: no exchange anywhere in the plan
+    val plan = Curation.chunkTokens(in, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("packing: per-shard concat-and-cut, boundary crossing, repartition-stable") {
+    // 40 docs of 7 tokens, budget 10 -> most docs cross a cut point
+    val in = (0L until 40L).map(i =>
+      (i, (1 to 7).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = Curation.packSequences(in, "doc_id", "text",
+      budget = 10L, nShards = 4, salt = "pack1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 40)
+    // local replay: shard by hash, order by id, running token offsets
+    val byShard = (0L until 40L).groupBy(i => TextOps.hash60Local(s"$i:pack1") % 4)
+    val expect = byShard.flatMap { case (shard, ids) =>
+      ids.sorted.zipWithIndex.map { case (id, k) =>
+        val begin = 7L * k
+        (id, shard, 7L, begin, begin / 10L, (begin + 6L) / 10L,
+          (begin + 6L) / 10L - begin / 10L + 1L)
+      }
+    }.toSeq
+    assert(rows.sorted.toSeq == expect.sorted)
+    // docs spanning a cut point report n_seqs = 2
+    assert(rows.exists(_._7 == 2L))
+    // assignment is a function of (id, tokens) alone - partitioning-invariant
+    val re = Curation.packSequences(in.repartition(13), "doc_id", "text", 10L, 4, "pack1")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sorted.toSeq
+    assert(re == rows.map(r => (r._1, r._4)).sorted.toSeq)
+  }
+
+  test("mixture sampling: per-key weights, default fallback, local-hash parity") {
+    val in = Seq((0L, "keep"), (1L, "keep"), (2L, "drop"), (3L, "half"),
+      (4L, "half"), (5L, "keep")).toDF("doc_id", "source")
+    val out = Curation.mixtureSample(in, "doc_id", "source",
+      Seq("keep" -> 1000000L, "drop" -> 0L), defaultMicro = 500000L,
+      salt = "mix1")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 6)
+    out.foreach { case (id, (key, bucket, weight, kept)) =>
+      assert(bucket == TextOps.hash60Local(s"$id:mix1") % 1000000L)
+      val expectW = key match {
+        case "keep" => 1000000L; case "drop" => 0L; case _ => 500000L
+      }
+      assert(weight == expectW)
+      assert(kept == (if (bucket < weight) 1L else 0L))
+    }
+    assert(out(0L)._4 == 1L && out(2L)._4 == 0L) // weight 1e6 keeps, 0 drops
+    // narrow projection: no exchange
+    val plan = Curation.mixtureSample(in, "doc_id", "source",
+      Seq("keep" -> 1000000L), 500000L, "mix1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("repetition stats: dup-word ratio and top-bigram share in micro-units") {
     val in = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"), // 9 words, 8 distinct
