@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which corrupts the ONE
+// machine-readable JSON line the bench/verify contract prints (a driver
+// doing json.loads on the line gets "[info] {..." and fails).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

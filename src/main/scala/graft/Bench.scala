@@ -71,6 +71,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
       // keep the politeness top-k hash-based with many hosts per task
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
+      // zstd for shuffle + parquet (measured, BENCH.md §0): on tmpfs every
+      // byte written IS memory-bus traffic, and the bus is the shared
+      // resource the durable loop phases (~0.7 N->4N with lz4/snappy)
+      // contend on — zstd trades bus bytes for compressor CPU, which
+      // scales with cores. Same-window loop-pair A/B: 4N level ABSOLUTELY
+      // faster (54.5-59.4 s vs 58.0-71.0 s steady), N level ~15% slower
+      // (2 threads never saturate the bus, so the extra CPU is pure cost),
+      // pair efficiency 0.839-0.957 (zstd) vs 0.648-0.732 (lz4/snappy).
+      // The bigger simulated cluster is the scale path — the codec a 100 TB
+      // deployment would pick. Env knobs keep the A/B reproducible.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -712,6 +728,9 @@ object Bench {
 
     // Long-point statistics over the steady-state supersteps (>= 1; the
     // bootstrap superstep is structurally different, see runLooplong).
+    // Tuple: (thr_p4N, headline efficiency, verbose fragment, compact
+    // fragment — the verbose one goes to the detail file, the compact one
+    // to the stdout line the driver's bounded tail must hold whole).
     val longStr = (longPoint, pairs) match {
       case (Some((d, b)), ps) if ps.nonEmpty =>
         val urlsSteady = ps.head._1.urls.drop(1).sum // deterministic per level
@@ -751,30 +770,63 @@ object Bench {
           f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f}"""
         }.mkString("[", ",", "]")
         val ratiosStr = stepRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+        val secNArr = pairRows.map(r => f"${r._1}%.1f").mkString("[", ",", "]")
+        val sec4Arr = pairRows.map(r => f"${r._2}%.1f").mkString("[", ",", "]")
+        val prArr = pairRows.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
         Some((thr4f, effPairMedian,
-          f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$effPairMedian%.3f},"""))
+          f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$effPairMedian%.3f},""",
+          f""""long":{"batches":$b,"n_docs":$d,"urls_steady":$urlsSteady,"sec_pN":$secNArr,"sec_p4N":$sec4Arr,"pair_ratios":$prArr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$effPairMedian%.3f},"""))
       case _ => None
     }
     // headline loop efficiency: the long point's paired median when it ran,
     // else the best sweep point (small-corpus smoke runs)
     val (loopThr, loopEff) = longStr match {
-      case Some((t, e, _)) => (t, e)
+      case Some((t, e, _, _)) => (t, e)
       case None =>
         val best = sweepJson.sortBy(-_._7).headOption
         (best.map(_._5).getOrElse(0.0), best.map(_._7).getOrElse(0.0))
     }
     val longJson = longStr.map(_._3).getOrElse("")
+    val longCompact = longStr.map(_._4).getOrElse("")
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // Short keys ("q39" for "q39_near_dup_pipeline") for the stdout line:
+    // the driver's artifact keeps only the last ~2 KB of output, and
+    // rounds 1-3 all recorded parsed:null because the full-name line
+    // outgrew that window. Full names stay in the detail file + BENCH.md.
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val annStr = annRecall
       .map { case (l, i) => f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f}""" }
       .getOrElse("")
-    // key order matters for the driver's bounded stdout tail: the
-    // per-query map (the longest, most truncatable section) leads; the
-    // scaling criteria and totals land at the END of the line.
-    println(
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}""")
+    val kernelRatiosStr =
+      kernelPairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
+    val detail =
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "target/bench_detail.json")
+    try {
+      val p = java.nio.file.Paths.get(detailPath)
+      Option(p.getParent)
+        .foreach(d => java.nio.file.Files.createDirectories(d))
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full detail -> $detailPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    // ONE compact stdout JSON line, sized to survive the driver's bounded
+    // tail whole: short query keys, ratio arrays instead of pair objects,
+    // and the batch-size sweep only when the long point didn't run (the
+    // sweep's full numbers are in the detail file either way).
+    val sweepCompact =
+      if (longStr.isDefined || sweepJson.isEmpty) "" else s""""sweep":$sweepStr,"""
+    val compact =
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qsShort$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"urls":${level4N.ku},"sec_pN":${levelN.kt}%.2f,"sec_p4N":${level4N.kt}%.2f,"thr_pN":$kthr8%.1f,"thr_p4N":$kthr32%.1f,"pair_ratios":$kernelRatiosStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,$sweepCompact$longCompact"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
+    if (compact.length > 1850)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} B" +
+        " may outgrow the driver's stdout tail window")
+    println(compact)
   }
 }
