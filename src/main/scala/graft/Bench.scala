@@ -71,18 +71,22 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
       // keep the politeness top-k hash-based with many hosts per task
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
-      // zstd for shuffle + parquet (measured, BENCH.md §0): on tmpfs every
-      // byte written IS memory-bus traffic, and the bus is the shared
-      // resource the durable loop phases (~0.7 N->4N with lz4/snappy)
-      // contend on — zstd trades bus bytes for compressor CPU, which
-      // scales with cores. Same-window loop-pair A/B: 4N level ABSOLUTELY
-      // faster (54.5-59.4 s vs 58.0-71.0 s steady), N level ~15% slower
-      // (2 threads never saturate the bus, so the extra CPU is pure cost),
-      // pair efficiency 0.839-0.957 (zstd) vs 0.648-0.732 (lz4/snappy).
-      // The bigger simulated cluster is the scale path — the codec a 100 TB
-      // deployment would pick. Env knobs keep the A/B reproducible.
+      // Codec split (measured, BENCH.md §0): PARQUET (durable snapshot
+      // writes) = zstd — on tmpfs every written byte IS memory-bus
+      // traffic, the shared resource the durable loop phases (~0.7 N->4N
+      // with snappy) contend on, and zstd trades those bytes for
+      // compressor CPU that scales with cores (loop pair ratios
+      // 0.84-1.0 vs 0.65-0.73). SHUFFLE stays lz4 (the Spark default) —
+      // an all-zstd config dragged the shuffle-only kernel's 4N level
+      // from 5.7 to 6.1-7.7 s and its pair ratios from 0.94-1.01 to
+      // 0.70-0.90 in same-window A/Bs: the kernel's exchanges are
+      // CPU-bound at 4N, so extra compressor cycles sit on its critical
+      // path, while its N level (2 cores, bus never binding either way)
+      // doesn't move. Same tradeoff a 100 TB deployment makes: heavy
+      // codec where IO bandwidth binds (durable storage), light codec
+      // where cores bind. Env knobs keep the A/Bs reproducible.
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
       .config("spark.shuffle.compress",
@@ -324,6 +328,12 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_LOOP_SWEEP", "6,2")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0).toSeq
   private def longPointEnv: Option[(Int, Int)] = {
+    // 3 supersteps of 1.2M (2 steady after the bootstrap drop). A
+    // 2400000x2 shape (1 steady step, 5 pairs in the same wall budget)
+    // was measured and rejected: its single steady superstep produced no
+    // cleaner a median in a loaded window (0.716 vs the 3-step shape's
+    // 0.82-0.97 adjacent runs), and it broke comparability with every
+    // recorded r3/r4 run (BENCH.md §2.1).
     val longSpec = sys.env.getOrElse("SPARK_GRAFT_LOOP_LONG", "3600000x3")
     longSpec.split("x") match {
       case Array(d, b) if longSpec.nonEmpty => Some((d.trim.toInt, b.trim.toInt))
