@@ -195,11 +195,18 @@ object Bench {
     * memory-streaming regex), measured independently of shuffles, parquet
     * and the scheduler — the denominator that decides whether loop
     * inefficiency is the engine's or the box's. */
+  /** Control fixture cache: the per-pair window probes (see runLoopPair)
+    * call timedParseControl many times per run; document generation is
+    * setup, not measurement, so build each size once per JVM. */
+  private val ctlDocsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(String, String)]]()
+
   private def timedParseControl(nDocs: Int, threads: Int, reps: Int): Double = {
-    val docs = (0L until nDocs.toLong).toArray.map { i =>
-      val d = Corpus.genDoc(42L, i, nDocs)
-      (d.doc_id, Parser.htmlOf(d.spans))
-    }
+    val docs = ctlDocsCache.computeIfAbsent(nDocs, n =>
+      (0L until n.toLong).toArray.map { i =>
+        val d = Corpus.genDoc(42L, i, n)
+        (d.doc_id, Parser.htmlOf(d.spans))
+      })
     def once(): Long = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val chunk = math.max(1, docs.length / (threads * 8))
@@ -349,6 +356,15 @@ object Bench {
   /** One long-point rep at one level: per-superstep (urls, seconds),
     * superstep 0 (bootstrap) included — the parent drops it. */
   private final case class LongRep(urls: Seq[Long], secs: Seq[Double])
+
+  /** One interleaved (N, 4N) long-point pair plus its WINDOW SCORE: the
+    * no-Spark string-control scaling efficiency measured immediately
+    * before and after the pair (the pair's bracket), min of the two.
+    * A bracket ~0.92+ says the box's own thread scaling was clean while
+    * the pair ran; ~0.75 says an external tenant was squeezing pure-CPU
+    * work, and no measurement taken in that window can read above the
+    * machine's same-window ceiling. */
+  private final case class LoopPair(lo: LongRep, hi: LongRep, ctl: Double)
 
   /** Child-JVM entry: run ONE phase's measurements at ONE parallelism level
     * and write the results to `outPath`. The parent launches this in a JVM
@@ -654,20 +670,40 @@ object Bench {
     // per-superstep ratios cancels the drift term.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS", "3").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS_MAX", "5").toInt
-    def runLoopPair(i: Int): (LongRep, LongRep) = {
+    // A pair's bracket counts as CLEAN at/above this string-control
+    // efficiency. Observed: quiet windows 0.92-0.97, loaded 0.74-0.85;
+    // the probe itself carries a few points of noise (min-of-3 over a
+    // ~1.4 s job), so the cut sits between the two populations, not at
+    // the quiet floor.
+    val ctlClean = sys.env.getOrElse("SPARK_GRAFT_CTL_CLEAN", "0.88").toDouble
+    // The window probe: the no-Spark string-pipeline control at both
+    // levels, back-to-back (~15 s total against a ~4-minute pair). Run
+    // before AND after each pair; the pair's score is the worse bracket.
+    def ctlWindowEff(): Double = {
+      val n = timedParseControl(150000, pLow, reps = 3)
+      val h = timedParseControl(150000, pHigh, reps = 3)
+      (n / h) / 4.0
+    }
+    def runLoopPair(i: Int): LoopPair = {
       System.err.println(s"[bench] long-point pair $i")
-      if (i % 2 == 1) (spawnLooplong(pLow), spawnLooplong(pHigh))
-      else { val hi = spawnLooplong(pHigh); (spawnLooplong(pLow), hi) }
+      val pre = ctlWindowEff()
+      val (lo, hi) =
+        if (i % 2 == 1) (spawnLooplong(pLow), spawnLooplong(pHigh))
+        else { val h = spawnLooplong(pHigh); (spawnLooplong(pLow), h) }
+      val post = ctlWindowEff()
+      val ctl = math.min(pre, post)
+      System.err.println(f"[bench] pair $i ctl brackets $pre%.3f/$post%.3f")
+      LoopPair(lo, hi, ctl)
     }
     // One pair's whole-run steady-state ratio — the headline's sample unit
     // (same formula as the stats block below; duplicated here so the
     // escalation check can run before the stats block exists).
-    def pairRatio(p: (LongRep, LongRep)): Double = {
-      val sN = p._1.secs.drop(1).sum
-      val s4 = p._2.secs.drop(1).sum
+    def pairRatio(p: LoopPair): Double = {
+      val sN = p.lo.secs.drop(1).sum
+      val s4 = p.hi.secs.drop(1).sum
       (sN / s4) / 4.0
     }
-    val pairs: Seq[(LongRep, LongRep)] =
+    val pairs: Seq[LoopPair] =
       if (longCorpus.isEmpty) Seq.empty
       else {
         var ps = (1 to nPairs).map(runLoopPair).toVector
@@ -683,13 +719,19 @@ object Bench {
         // The stop rule is one-sided (it never trims pairs, only adds
         // them, and every pair taken is reported), so the worst it can do
         // is report the median of MORE samples; all ratios land in the
-        // artifact for the spread to speak for itself.
+        // artifact for the spread to speak for itself. Escalation also
+        // fires while fewer than two pairs have CLEAN brackets — the
+        // control-gated headline below needs >= 2 clean samples, and
+        // buying more pairs is the only way a wave-loaded window (clean
+        // and squeezed minutes alternating — the 12:18 loop-only run's
+        // pairs read [0.622, 0.882, 0.732, 0.566, 0.841]) yields them.
         while (ps.size < maxPairs && {
           val rs = ps.map(pairRatio)
-          median(rs) < 0.85 || rs.max - rs.min > 0.25
+          median(rs) < 0.85 || rs.max - rs.min > 0.25 ||
+            ps.count(_.ctl >= ctlClean) < 2
         }) {
           val rs = ps.map(pairRatio)
-          System.err.println(f"[bench] loop pairs noisy (median ${median(rs)}%.3f, spread ${rs.max - rs.min}%.3f) — adding pair ${ps.size + 1}")
+          System.err.println(f"[bench] loop pairs noisy (median ${median(rs)}%.3f, spread ${rs.max - rs.min}%.3f, clean ${ps.count(_.ctl >= ctlClean)}) — adding pair ${ps.size + 1}")
           ps = ps :+ runLoopPair(ps.size + 1)
         }
         ps
@@ -778,20 +820,21 @@ object Bench {
     // to the stdout line the driver's bounded tail must hold whole).
     val longStr = (longPoint, pairs) match {
       case (Some((d, b)), ps) if ps.nonEmpty =>
-        val urlsSteady = ps.head._1.urls.drop(1).sum // deterministic per level
-        val stepsN = ps.map(_._1.secs.drop(1))
-        val steps4 = ps.map(_._2.secs.drop(1))
+        val urlsSteady = ps.head.lo.urls.drop(1).sum // deterministic per level
+        val stepsN = ps.map(_.lo.secs.drop(1))
+        val steps4 = ps.map(_.hi.secs.drop(1))
         // whole-rep paired ratios (one per pair) + per-superstep paired
         // ratios (the headline's sample set: nPairs * steadySteps values)
-        val pairRows = ps.map { case (rN, r4) =>
-          val sN = rN.secs.drop(1).sum
-          val s4 = r4.secs.drop(1).sum
-          (sN, s4, (sN / s4) / 4.0)
+        val pairRows = ps.map { p =>
+          val sN = p.lo.secs.drop(1).sum
+          val s4 = p.hi.secs.drop(1).sum
+          (sN, s4, (sN / s4) / 4.0, p.ctl)
         }
         val stepRatios = stepsN.zip(steps4).flatMap { case (sN, s4) =>
           sN.zip(s4).map { case (a, b) => (a / b) / 4.0 }
         }
-        // HEADLINE estimator = MEDIAN OF PER-PAIR WHOLE-RUN RATIOS.
+        // HEADLINE estimator = MEDIAN OF PER-PAIR WHOLE-RUN RATIOS over
+        // the pairs whose CONTROL BRACKETS read clean (gate below).
         // Each pair is one same-window A/B of the identical deterministic
         // job (interleaved child JVMs minutes apart), whole-run sums
         // average out per-superstep jitter within a rep, and the median
@@ -802,8 +845,15 @@ object Bench {
         // in all three - vs per-superstep-minima floor 0.722 / 0.820 /
         // 0.840 (hostage to one lucky N window) and per-superstep paired
         // median 0.922 / 0.873 / 0.654 (6 scattered samples; one bad rep
-        // poisons a third of them). Both alternates are emitted alongside
+        // poisons a third of them). All alternates are emitted alongside
         // so a noisy round is visible as estimator spread, not bias.
+        // The control gate was added after the escalation-live runs
+        // (BENCH.md 2.1): under SUSTAINED multi-tenant load the median
+        // of even 5 pairs reads ~0.73 while the same windows' no-Spark
+        // string control reads ~0.74 - the box, not the engine - and no
+        // estimator over raw ratios can read above the machine's
+        // same-window ceiling. Bracketing each pair with that control
+        // makes every sample carry its own window evidence.
         val floorN = stepsN.transpose.map(_.min).sum
         val floor4 = steps4.transpose.map(_.min).sum
         val thrNf = urlsSteady / floorN
@@ -811,16 +861,35 @@ object Bench {
         val effFloor = (thr4f / thrNf) / 4.0
         val effStepMedian = median(stepRatios)
         val effPairMedian = median(pairRows.map(_._3))
-        val pairsStr = pairRows.map { case (sN, s4, r) =>
-          f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f}"""
+        // CONTROL-GATED headline: the median over pairs whose brackets
+        // (the no-Spark string control run immediately before and after
+        // the pair) read clean — i.e. the engine's scaling measured in
+        // windows where an independent probe says the MACHINE's own
+        // thread scaling was unimpaired. Pairs are never invented, only
+        // excluded, and every pair's ratio AND bracket score land in the
+        // artifact, so the gate is auditable sample-by-sample. The gate
+        // can only miss load that arrives strictly between brackets,
+        // which leaves squeezed pairs IN the clean set — it understates,
+        // never inflates. Fewer than 2 clean pairs (sustained load even
+        // after escalation): fall back to the all-pair median rather
+        // than headline a 1-sample "median".
+        val cleanRatios =
+          pairRows.filter(_._4 >= ctlClean).map(_._3)
+        val effClean =
+          if (cleanRatios.size >= 2) median(cleanRatios) else effPairMedian
+        val headline = effClean
+        val pairsStr = pairRows.map { case (sN, s4, r, c) =>
+          f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f,"ctl":$c%.3f}"""
         }.mkString("[", ",", "]")
         val ratiosStr = stepRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
         val secNArr = pairRows.map(r => f"${r._1}%.1f").mkString("[", ",", "]")
         val sec4Arr = pairRows.map(r => f"${r._2}%.1f").mkString("[", ",", "]")
         val prArr = pairRows.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        Some((thr4f, effPairMedian,
-          f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$effPairMedian%.3f},""",
-          f""""long":{"batches":$b,"n_docs":$d,"urls_steady":$urlsSteady,"sec_pN":$secNArr,"sec_p4N":$sec4Arr,"pair_ratios":$prArr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$effPairMedian%.3f},"""))
+        val ctlArr = pairRows.map(r => f"${r._4}%.3f").mkString("[", ",", "]")
+        val gateStr = f""""pair_ctls":$ctlArr,"ctl_clean":$ctlClean%.2f,"clean_pairs":${cleanRatios.size},"efficiency_all_pairs":$effPairMedian%.3f,"""
+        Some((thr4f, headline,
+          f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},""",
+          f""""long":{"batches":$b,"n_docs":$d,"urls_steady":$urlsSteady,"sec_pN":$secNArr,"sec_p4N":$sec4Arr,"pair_ratios":$prArr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},"""))
       case _ => None
     }
     // headline loop efficiency: the long point's paired median when it ran,
