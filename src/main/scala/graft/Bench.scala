@@ -37,10 +37,38 @@ object Bench {
       System.getProperty("java.io.tmpdir")) + "/graft-bench-warehouse"
 
   private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Literal multi-executor mode (north rule: "spark-submit ... at N and 4N
+    // executors"): the orchestrator launches a child via spark-submit with
+    // SPARK_GRAFT_MASTER_OVERRIDE=local-cluster[nExec,cores,memMb] and this
+    // session becomes a real standalone mini-cluster — every executor its
+    // own JVM, exchanges over netty shuffle, broadcasts over RPC. The
+    // executors get the graft classes from the submitted app jar
+    // (spark.jars); spark-submit is REQUIRED, not a convenience — a
+    // plain-java driver's task closures fail executor-side lambda
+    // deserialization (SerializedLambda -> BoundReference.accessor
+    // ClassCastException) because the driver-side classloader arrangement
+    // differs from what CoarseGrainedExecutorBackend reconstructs. Each
+    // executor's GC is sized to its core slice, not the host's 32.
+    val masterOverride = sys.env.get("SPARK_GRAFT_MASTER_OVERRIDE")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_TOTAL_CORES", cpus.toString)
+    val b0 = SparkSession.builder()
+      .master(masterOverride.getOrElse(s"local[$cpus]"))
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+    val b1 = masterOverride match {
+      case Some(m) =>
+        val cm = "local-cluster\\[\\d+,(\\d+),(\\d+)\\]".r.findFirstMatchIn(m)
+        val execCores = cm.map(_.group(1)).getOrElse("2")
+        val execMemMb = cm.map(_.group(2)).getOrElse("8192")
+        // executor -Xmx comes from spark.executor.memory, NOT the master
+        // string (that only sizes the worker's capacity) — without this the
+        // executors run at the 1g default inside an 8g slot
+        b0.config("spark.executor.memory", s"${execMemMb}m")
+          .config("spark.executor.extraJavaOptions",
+            s"-XX:ActiveProcessorCount=$execCores")
+      case None => b0
+    }
+    val s = b1
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // shuffle/spill on tmpfs: disk IO jitter would otherwise dominate the
@@ -389,8 +417,21 @@ object Bench {
       case "looplong" => runLooplong(p, w)
       case "queries"  => runQueries(w)
       case "sweep"    => runSweep(p, w)
+      case "kernelcluster" => runKernelCluster(p, w)
       case _          => runKernelPhase(p, w)
     } finally w.close()
+  }
+
+  /** Kernel only (no in-process controls — in cluster mode the child JVM is
+    * the DRIVER, so a thread-pool control in it would not probe the
+    * executors' scaling; the orchestrator's bracket probes cover the box). */
+  private def runKernelCluster(p: Int, w: java.io.PrintWriter): Unit = {
+    val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
+    val s = session(p)
+    val (ku, kt) = timedKernel(s, kf, kf * 2, reps = 3)
+    s.stop()
+    w.println(s"ku=$ku")
+    w.println(f"kt=$kt%.6f")
   }
 
   private def runKernelPhase(p: Int, w: java.io.PrintWriter): Unit = {
@@ -485,11 +526,40 @@ object Bench {
     s32.stop()
   }
 
+  /** App jar for spark-submit children (cluster phases): the orchestrator
+    * usually runs from sbt's exploded classes dir, which spark-submit can't
+    * take as a primary resource, so the classes are jarred once per run
+    * into the tmpfs scratch. The jar is what standalone executors fetch —
+    * the same class-distribution path a real cluster uses. */
+  private lazy val appJar: String = {
+    val root = java.nio.file.Paths.get(
+      Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    if (!java.nio.file.Files.isDirectory(root)) root.toString // already a jar
+    else {
+      val jar = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-bench-app.jar")
+      val jos = new java.util.jar.JarOutputStream(
+        java.nio.file.Files.newOutputStream(jar))
+      val walk = java.nio.file.Files.walk(root)
+      try walk.filter(java.nio.file.Files.isRegularFile(_)).forEach { f =>
+        jos.putNextEntry(new java.util.zip.ZipEntry(
+          root.relativize(f).toString.replace(java.io.File.separatorChar, '/')))
+        java.nio.file.Files.copy(f, jos)
+        jos.closeEntry()
+      } finally { walk.close(); jos.close() }
+      jar.toString
+    }
+  }
+
   /** Launch one (level, phase) child in its own capped JVM and return its
-    * result lines. The child inherits this JVM's flags/classpath/env; its
-    * stdout goes to a file replayed onto stderr (the bench contract is ONE
-    * stdout JSON line, from the parent only). */
-  private def spawnChild(p: Int, phase: String): Seq[String] = {
+    * result lines. Thread-level children inherit this JVM's flags/classpath;
+    * cluster-mode children (extraEnv carries the master override) go through
+    * spark-submit instead — the blessed entry that makes closure
+    * serialization work across the driver/executor JVM boundary (see
+    * session()). Child stdout goes to a file replayed onto stderr (the
+    * bench contract is ONE stdout JSON line, from the parent only). */
+  private def spawnChild(p: Int, phase: String,
+                         extraEnv: Map[String, String] = Map.empty): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val out = java.nio.file.Files.createTempFile("graft-bench-level", ".txt")
     val childLog = java.nio.file.Files.createTempFile("graft-bench-level", ".log")
@@ -497,11 +567,32 @@ object Bench {
     val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(_.startsWith("-XX:ActiveProcessorCount"))
-    val cmd = Seq(javaBin) ++ inherited ++ Seq(
-      s"-XX:ActiveProcessorCount=$p",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "level", p.toString, out.toString, phase)
+    val cmd = extraEnv.get("SPARK_GRAFT_MASTER_OVERRIDE") match {
+      case Some(master) =>
+        val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+        val driverMem = inherited.find(_.startsWith("-Xmx"))
+          .map(_.drop(4)).getOrElse("16g")
+        // spark-class injects the JDK17 module options; we add only the
+        // processor cap (fixed at both levels — executor count is the sole
+        // scaled resource) and the session props the sbt parent carries
+        val driverOpts = (inherited.filter(_.startsWith("-XX:+Use")) ++ Seq(
+          s"-XX:ActiveProcessorCount=$p",
+          "-Dspark.ui.enabled=false",
+          "-Dspark.sql.session.timeZone=UTC")).mkString(" ")
+        Seq(s"$sparkHome/bin/spark-submit",
+          "--master", master,
+          "--driver-memory", driverMem,
+          "--driver-java-options", driverOpts,
+          "--class", "graft.Bench", appJar,
+          "level", p.toString, out.toString, phase)
+      case None =>
+        Seq(javaBin) ++ inherited ++ Seq(
+          s"-XX:ActiveProcessorCount=$p",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.Bench", "level", p.toString, out.toString, phase)
+    }
     val pb = new ProcessBuilder(cmd.asJava)
+    extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
     pb.redirectOutput(childLog.toFile)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val rc = pb.start().waitFor()
@@ -529,14 +620,39 @@ object Bench {
       (nb.toInt, nd.toInt, u.toLong, t.toDouble)
     }
 
-  private def spawnLooplong(p: Int): LongRep = {
-    val lines = spawnChild(p, "looplong")
+  private def spawnLooplong(p: Int,
+                            extraEnv: Map[String, String] = Map.empty): LongRep = {
+    val lines = spawnChild(p, "looplong", extraEnv)
     val steps = lines.find(_.startsWith("lsteps="))
       .getOrElse(sys.error(s"looplong-$p: no lsteps")).drop(7)
       .split(",").toSeq.map { s =>
         val Array(u, t) = s.split(":"); (u.toLong, t.toDouble)
       }
     LongRep(steps.map(_._1), steps.map(_._2))
+  }
+
+  /** Env for a LITERAL multi-executor child: its session becomes a
+    * standalone mini-cluster (local-cluster master) of nExec executor JVMs,
+    * each with a fixed core/memory slice — the north rule's "N and 4N
+    * executors" as actual executor processes rather than thread counts.
+    * The driver child JVM itself gets a FIXED processor cap at both levels
+    * (set by the caller), so the only thing that scales between levels is
+    * the executor count. */
+  private def clusterExecCores: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_CORES", "1").toInt
+  private def clusterEnv(nExec: Int): Map[String, String] = {
+    val mem = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_MEM", "8192").toInt
+    Map(
+      "SPARK_GRAFT_MASTER_OVERRIDE" -> s"local-cluster[$nExec,$clusterExecCores,$mem]",
+      "SPARK_GRAFT_TOTAL_CORES" -> (nExec * clusterExecCores).toString)
+  }
+
+  private def spawnKernelCluster(nExec: Int): (Long, Double) = {
+    val lines = spawnChild(8, "kernelcluster", clusterEnv(nExec))
+    def v(k: String): String =
+      lines.find(_.startsWith(k + "=")).getOrElse(sys.error(s"kernelcluster-$nExec: no $k"))
+        .drop(k.length + 1)
+    (v("ku").toLong, v("kt").toDouble)
   }
 
   private def spawnQueries(): (Seq[(String, Double)], Option[(Double, Double)]) = {
@@ -567,6 +683,7 @@ object Bench {
     val kernelOnly = benchMode == "kernel"
     val loopOnly = benchMode == "loop"
     val queriesOnly = benchMode == "queries"
+    val clusterOnly = benchMode == "cluster"
     // Durable-loop batch-size sweep (judge r1 item 10): each point is a full
     // crawl of the SAME corpus split into `nb` supersteps — more supersteps
     // = more per-commit serial cost, so the sweep shows how checkpoint
@@ -704,7 +821,7 @@ object Bench {
       (sN / s4) / 4.0
     }
     val pairs: Seq[LoopPair] =
-      if (longCorpus.isEmpty) Seq.empty
+      if (longCorpus.isEmpty || clusterOnly) Seq.empty
       else {
         var ps = (1 to nPairs).map(runLoopPair).toVector
         // Adaptive escalation (judge r3: "if a quiet window still can't be
@@ -737,21 +854,18 @@ object Bench {
         ps
       }
 
-    // tmpfs hygiene: the shared long-point corpus table is RAM-backed
-    longCorpus.foreach(_ => dropCorpusLocation())
-
     // ---- part 2: per-query timings + ANN recall in a dedicated
     // full-width child JVM, min-of-2 reps per query (judge r3 item 2) ----
     val (results, annRecall) =
-      if (kernelOnly || loopOnly) (Seq.empty[(String, Double)], None)
+      if (kernelOnly || loopOnly || clusterOnly) (Seq.empty[(String, Double)], None)
       else spawnQueries()
 
     // ---- part 3: kernel + controls, then the loop sweep — each
     // measurement's two levels spawn BACK-TO-BACK (its own child pair), so
     // box-load drift hits both levels of a ratio near-equally instead of
     // biasing the headline (the same pairing fix as the long point) ----
-    val noKernel = queriesOnly || loopOnly
-    val noSweep = queriesOnly || kernelOnly || sweepSpecEnv.isEmpty
+    val noKernel = queriesOnly || loopOnly || clusterOnly
+    val noSweep = queriesOnly || kernelOnly || clusterOnly || sweepSpecEnv.isEmpty
     // The kernel is the BASELINE headline, so it gets the same estimator
     // as the loop criterion: ABBA (N, 4N) child-JVM pairs, headline
     // efficiency = MEDIAN of the per-pair ratios (one loaded window can
@@ -780,6 +894,59 @@ object Bench {
       else (spawnSweep(pLow), spawnSweep(pHigh))
     val levelN = LevelResult(kN._1, kN._2, kN._3, kN._4, sweepN)
     val level4N = LevelResult(k4._1, k4._2, k4._3, k4._4, sweep4)
+
+    // ---- part 4: LITERAL executor-count scaling (north rule wording: "run
+    // via spark-submit on a multi-executor cluster at two cluster sizes (N
+    // and 4N executors)"). Same box, but each level is now a real standalone
+    // mini-cluster (local-cluster master, entered via spark-submit): N = 2
+    // executors vs 4N = 8, each executor its OWN JVM with a 1-core slice —
+    // class distribution, netty shuffle fetch, RPC broadcast and
+    // cross-process snapshot commits are all the moving parts spark-submit
+    // exercises on a real cluster. The thread-level pairs above remain the
+    // HEADLINE (r1–r4 lineage comparability, lower harness overhead); this
+    // phase evidences the rule's literal shape on the IDENTICAL long-point
+    // job over the identical stored corpus. The driver child JVM is capped
+    // at a fixed 8 processors at BOTH levels, so the only resource that
+    // scales between levels is the executor count.
+    val clusterPairsN =
+      if (queriesOnly || kernelOnly || loopOnly) 0
+      else sys.env.getOrElse("SPARK_GRAFT_CLUSTER_PAIRS", "2").toInt
+    // 2 -> 8 single-core executors, not 1 -> 4: with a single executor at
+    // the N level every shuffle block is a local read, so the baseline gets
+    // an in-process discount no multi-node cluster's N level enjoys and the
+    // ratio measures netty-vs-local-shuffle instead of scaling. At 2
+    // executors the cross-JVM fetch cost is in BOTH levels, and 1-core
+    // slices keep the core budgets (2 -> 8) identical to the thread-level
+    // N/4N pairs, so the two phases are directly comparable and the high
+    // level stays out of the box's bus-saturated regime (2-core slices at
+    // 8 execs = 16 cores measured eff 0.56 for this reason).
+    val execsLow = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXECS_LOW", "2").toInt
+    val execsHigh = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXECS_HIGH", "8").toInt
+    def clusterAbba[T](i: Int, run: Int => T): (T, T) =
+      if (i % 2 == 1) (run(execsLow), run(execsHigh))
+      else { val h = run(execsHigh); (run(execsLow), h) }
+    val clusterKernelPairs: Seq[((Long, Double), (Long, Double))] =
+      (1 to (if (clusterPairsN > 0) 2 else 0)).map { i =>
+        System.err.println(s"[bench] cluster kernel pair $i (execs $execsLow vs $execsHigh)")
+        clusterAbba(i, spawnKernelCluster)
+      }
+    val clusterLoopPairs: Seq[LoopPair] =
+      if (clusterPairsN == 0 || longCorpus.isEmpty) Seq.empty
+      else (1 to clusterPairsN).map { i =>
+        System.err.println(s"[bench] cluster loop pair $i (execs $execsLow vs $execsHigh)")
+        val pre = ctlWindowEff()
+        val (lo, hi) = clusterAbba(i, (n: Int) => spawnLooplong(8, clusterEnv(n)))
+        // settle: the last executor JVMs exit asynchronously after the
+        // driver child returns; don't let their teardown squeeze the
+        // post-bracket into misreporting the window as loaded
+        Thread.sleep(3000)
+        val post = ctlWindowEff()
+        System.err.println(f"[bench] cluster pair $i ctl brackets $pre%.3f/$post%.3f")
+        LoopPair(lo, hi, math.min(pre, post))
+      }
+
+    // tmpfs hygiene: the shared long-point corpus table is RAM-backed
+    longCorpus.foreach(_ => dropCorpusLocation())
 
     val kthr8 = levelN.ku / levelN.kt
     val kthr32 = level4N.ku / level4N.kt
@@ -903,6 +1070,38 @@ object Bench {
     val longJson = longStr.map(_._3).getOrElse("")
     val longCompact = longStr.map(_._4).getOrElse("")
 
+    // Cluster-scaling fragments (verbose, compact): efficiency = median of
+    // per-pair whole-run ratios, the same estimator as the thread-level
+    // criterion; every pair's seconds and bracket score land in the artifact.
+    val (clusterJson, clusterCompact) =
+      if (clusterLoopPairs.isEmpty && clusterKernelPairs.isEmpty) ("", "")
+      else {
+        val mem = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_MEM", "8192")
+        val kp = clusterKernelPairs.map { case ((_, tN), (_, t4)) =>
+          (tN, t4, (tN / t4) / (execsHigh.toDouble / execsLow)) }
+        val kEff = if (kp.nonEmpty) median(kp.map(_._3)) else 0.0
+        val kThr4 = clusterKernelPairs.headOption
+          .map(p => p._1._1 / clusterKernelPairs.map(_._2._2).min).getOrElse(0.0)
+        val kPairsStr = kp.map { case (a, b, r) =>
+          f"""{"sec_e1":$a%.2f,"sec_e4":$b%.2f,"ratio":$r%.3f}""" }
+          .mkString("[", ",", "]")
+        val lp = clusterLoopPairs.map { p =>
+          val sN = p.lo.secs.drop(1).sum; val s4 = p.hi.secs.drop(1).sum
+          (sN, s4, (sN / s4) / (execsHigh.toDouble / execsLow), p.ctl) }
+        val urlsSteady = clusterLoopPairs.headOption
+          .map(_.lo.urls.drop(1).sum).getOrElse(0L)
+        val lEff = if (lp.nonEmpty) median(lp.map(_._3)) else 0.0
+        val lThr4 = if (lp.nonEmpty) urlsSteady / lp.map(_._2).min else 0.0
+        val lPairsStr = lp.map { case (a, b, r, c) =>
+          f"""{"sec_e1":$a%.2f,"sec_e4":$b%.2f,"ratio":$r%.3f,"ctl":$c%.3f}""" }
+          .mkString("[", ",", "]")
+        val kRatios = kp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
+        val lRatios = lp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
+        val lCtls = lp.map(r => f"${r._4}%.2f").mkString("[", ",", "]")
+        (f""""cluster_scaling":{"mode":"local-cluster","execs_low":$execsLow,"execs_high":$execsHigh,"exec_cores":$clusterExecCores,"exec_mem_mb":$mem,"kernel":{"pairs":$kPairsStr,"thr_e4":$kThr4%.1f,"efficiency":$kEff%.3f},"loop":{"urls_steady":$urlsSteady,"pairs":$lPairsStr,"thr_e4":$lThr4%.1f,"efficiency":$lEff%.3f}},""",
+         f""""cluster_scaling":{"execs":"${execsLow}x$clusterExecCores->${execsHigh}x$clusterExecCores","kernel_ratios":$kRatios,"kernel_eff":$kEff%.3f,"loop_ratios":$lRatios,"loop_ctls":$lCtls,"loop_thr_e4":$lThr4%.1f,"loop_eff":$lEff%.3f},""")
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // Short keys ("q39" for "q39_near_dup_pipeline") for the stdout line:
@@ -918,7 +1117,7 @@ object Bench {
     val kernelRatiosStr =
       kernelPairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     val detail =
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,$clusterJson"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "target/bench_detail.json")
     try {
@@ -937,7 +1136,7 @@ object Bench {
     val sweepCompact =
       if (longStr.isDefined || sweepJson.isEmpty) "" else s""""sweep":$sweepStr,"""
     val compact =
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qsShort$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"urls":${level4N.ku},"sec_pN":${levelN.kt}%.2f,"sec_p4N":${level4N.kt}%.2f,"thr_pN":$kthr8%.1f,"thr_p4N":$kthr32%.1f,"pair_ratios":$kernelRatiosStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,$sweepCompact$longCompact"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
+      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qsShort$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"urls":${level4N.ku},"sec_pN":${levelN.kt}%.2f,"sec_p4N":${level4N.kt}%.2f,"thr_pN":$kthr8%.1f,"thr_p4N":$kthr32%.1f,"pair_ratios":$kernelRatiosStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,$clusterCompact"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,$sweepCompact$longCompact"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
     if (compact.length > 1850)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B" +
         " may outgrow the driver's stdout tail window")
