@@ -66,6 +66,12 @@ object Bench {
         b0.config("spark.executor.memory", s"${execMemMb}m")
           .config("spark.executor.extraJavaOptions",
             s"-XX:ActiveProcessorCount=$execCores")
+          // single-core executor slices: a reduce task waiting the default
+          // 3 s for its PROCESS_LOCAL executor (one busy core) idles the
+          // whole slot — on one host every executor is equally NODE_LOCAL,
+          // so don't wait (A/B'd; knob keeps it reproducible)
+          .config("spark.locality.wait",
+            sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0s"))
       case None => b0
     }
     val s = b1
@@ -134,14 +140,19 @@ object Bench {
     * in-memory catalog forgets metadata across sessions, so each level
     * re-declares the same bucketed layout over the same files via DDL. */
   private val CorpusTable = "graft_bench_corpus"
+  // The cluster phase's own (smaller) long-point table: at 2 single-core
+  // executor JVMs the 3.6M thread-level point would run ~10 min/rep, so
+  // the literal-executor phase crawls a cluster-sized point generated by
+  // the same generator/seed/bucketing (SPARK_GRAFT_CLUSTER_LOOP_LONG).
+  private val ClusterCorpusTable = "graft_bench_corpus_cluster"
   private val CorpusBuckets = 64
 
   /** The in-memory catalog forgets tables across JVMs but the warehouse
     * files persist — a stale location from a crashed run would fail
     * saveAsTable with LOCATION_ALREADY_EXISTS. */
-  private def dropCorpusLocation(): Unit = {
+  private def dropCorpusLocation(table: String = CorpusTable): Unit = {
     import java.util.Comparator
-    val root = java.nio.file.Paths.get(s"$warehouseDir/$CorpusTable")
+    val root = java.nio.file.Paths.get(s"$warehouseDir/$table")
     if (java.nio.file.Files.isDirectory(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
@@ -150,14 +161,29 @@ object Bench {
     }
   }
 
-  private def declareCorpusTable(spark: SparkSession): Unit = {
+  private def declareCorpusTable(spark: SparkSession,
+                                 table: String = CorpusTable): Unit = {
     import spark.implicits._
     val schemaDdl = spark.emptyDataset[Doc].toDF().schema.toDDL
-    spark.sql(s"DROP TABLE IF EXISTS $CorpusTable")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
-      s"""CREATE TABLE $CorpusTable ($schemaDdl) USING PARQUET
+      s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
          |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $CorpusBuckets BUCKETS
-         |LOCATION '$warehouseDir/$CorpusTable'""".stripMargin)
+         |LOCATION '$warehouseDir/$table'""".stripMargin)
+  }
+
+  /** Generate a bucketed corpus table ONCE with a full-box session (both
+    * scaling levels then crawl the identical stored files; the fetch join
+    * co-partitions against the buckets so the corpus never shuffles). */
+  private def writeCorpusTable(table: String, nDocs: Int): Unit = {
+    val sg = session(32)
+    dropCorpusLocation(table)
+    Corpus.documents(sg, 42L, nDocs).toDF()
+      .repartition(CorpusBuckets, col("doc_id"))
+      .write.bucketBy(CorpusBuckets, "doc_id").sortBy("doc_id")
+      .mode("overwrite").saveAsTable(table)
+    sg.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
   }
 
   /** Frontier-throughput KERNEL: one pop + link-dedup + insert-or-increment
@@ -474,14 +500,15 @@ object Bench {
     * full filter bootstrap, structurally unlike the steady state). */
   private def runLooplong(p: Int, w: java.io.PrintWriter): Unit = {
     val (d, b) = longPointEnv.getOrElse(sys.error("looplong: no long point"))
+    val table = sys.env.getOrElse("SPARK_GRAFT_CORPUS_TABLE", CorpusTable)
     val s = session(p)
-    declareCorpusTable(s)
+    declareCorpusTable(s, table)
     // priming, untimed — a small one-superstep crawl exercises every plan
     // the timed crawl uses (codegen/JIT/parquet-reader warm-up); size only
     // buys wall time, not extra warm-up, so it stays small
     val _ = timedCrawl(s, 36000, 3000, 1, 36000)
     val (urls, secs) = timedCrawl(s, d, d / b, b, d / b,
-      corpusTable = Some(CorpusTable))
+      corpusTable = Some(table))
     s.stop()
     w.println("lsteps=" + urls.zip(secs)
       .map { case (u, t) => f"$u:$t%.6f" }.mkString(","))
@@ -714,14 +741,7 @@ object Bench {
     // of the parse pipeline over the bucketed corpus at pLow and pHigh.
     if (benchMode == "decomp") {
       val d = longPoint.map(_._1).getOrElse(1200000)
-      val sg = session(32)
-      dropCorpusLocation()
-      Corpus.documents(sg, 42L, d).toDF()
-        .repartition(CorpusBuckets, col("doc_id"))
-        .write.bucketBy(CorpusBuckets, "doc_id").sortBy("doc_id")
-        .mode("overwrite").saveAsTable(CorpusTable)
-      sg.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      writeCorpusTable(CorpusTable, d)
       Seq(pLow, pHigh).foreach { p =>
         val s = session(p)
         declareCorpusTable(s)
@@ -757,17 +777,8 @@ object Bench {
     // repartition on doc_id first so each bucket is exactly one sorted
     // file and the SORTED BY spec is honored at read).
     val longCorpus: Option[(Int, Int)] =
-      longPoint.filter(_ => !kernelOnly && !queriesOnly).map { case (d, b) =>
-        val sg = session(32)
-        dropCorpusLocation()
-        Corpus.documents(sg, 42L, d).toDF()
-          .repartition(CorpusBuckets, col("doc_id"))
-          .write.bucketBy(CorpusBuckets, "doc_id").sortBy("doc_id")
-          .mode("overwrite").saveAsTable(CorpusTable)
-        sg.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        (d, b)
-      }
+      longPoint.filter(_ => !kernelOnly && !queriesOnly && !clusterOnly)
+        .map { case (d, b) => writeCorpusTable(CorpusTable, d); (d, b) }
 
     // ---- part 1 (FIRST — the coldest, quietest window): the long-
     // superstep loop point as INTERLEAVED (N, 4N) child-JVM pairs.
@@ -911,6 +922,26 @@ object Bench {
     val clusterPairsN =
       if (queriesOnly || kernelOnly || loopOnly) 0
       else sys.env.getOrElse("SPARK_GRAFT_CLUSTER_PAIRS", "2").toInt
+    // The cluster loop crawls its OWN, cluster-sized long point (default
+    // 1.2M x 3): the thread-level 3.6M point would run ~10 min/rep on 2
+    // single-core executor JVMs. Same generator, seed and bucketed layout;
+    // generated HERE (after the headline phases) so the full-width write
+    // doesn't warm the box before part 1's quiet window.
+    val clusterPoint: Option[(Int, Int)] =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_LOOP_LONG", "1200000x3")
+        .split("x") match {
+          case Array(d, b) => Some((d.trim.toInt, b.trim.toInt))
+          case _ => None
+        }
+    // free the (much larger) thread-point table before generating this one
+    longCorpus.foreach(_ => dropCorpusLocation())
+    val clusterCorpus: Option[(Int, Int)] =
+      clusterPoint.filter(_ => clusterPairsN > 0)
+        .map { case (d, b) => writeCorpusTable(ClusterCorpusTable, d); (d, b) }
+    val clusterLoopEnv: Map[String, String] = clusterCorpus.map { case (d, b) =>
+      Map("SPARK_GRAFT_LOOP_LONG" -> s"${d}x$b",
+        "SPARK_GRAFT_CORPUS_TABLE" -> ClusterCorpusTable)
+    }.getOrElse(Map.empty)
     // 2 -> 8 single-core executors, not 1 -> 4: with a single executor at
     // the N level every shuffle block is a local read, so the baseline gets
     // an in-process discount no multi-node cluster's N level enjoys and the
@@ -925,28 +956,39 @@ object Bench {
     def clusterAbba[T](i: Int, run: Int => T): (T, T) =
       if (i % 2 == 1) (run(execsLow), run(execsHigh))
       else { val h = run(execsHigh); (run(execsLow), h) }
+    // A failed cluster pair LOGS AND DROPS, never aborts: this phase is
+    // supplementary evidence — the round's criterion artifact (the thread
+    // pairs above) must survive a standalone-cluster hiccup.
+    def clusterTry[T](what: String)(body: => T): Option[T] =
+      try Some(body) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster $what FAILED: ${e.getMessage}")
+          None
+      }
     val clusterKernelPairs: Seq[((Long, Double), (Long, Double))] =
-      (1 to (if (clusterPairsN > 0) 2 else 0)).map { i =>
+      (1 to (if (clusterPairsN > 0) 2 else 0)).flatMap { i =>
         System.err.println(s"[bench] cluster kernel pair $i (execs $execsLow vs $execsHigh)")
-        clusterAbba(i, spawnKernelCluster)
+        clusterTry(s"kernel pair $i")(clusterAbba(i, spawnKernelCluster))
       }
     val clusterLoopPairs: Seq[LoopPair] =
-      if (clusterPairsN == 0 || longCorpus.isEmpty) Seq.empty
-      else (1 to clusterPairsN).map { i =>
+      if (clusterPairsN == 0 || clusterCorpus.isEmpty) Seq.empty
+      else (1 to clusterPairsN).flatMap { i =>
         System.err.println(s"[bench] cluster loop pair $i (execs $execsLow vs $execsHigh)")
         val pre = ctlWindowEff()
-        val (lo, hi) = clusterAbba(i, (n: Int) => spawnLooplong(8, clusterEnv(n)))
+        val r = clusterTry(s"loop pair $i")(
+          clusterAbba(i, (n: Int) => spawnLooplong(8, clusterEnv(n) ++ clusterLoopEnv)))
         // settle: the last executor JVMs exit asynchronously after the
         // driver child returns; don't let their teardown squeeze the
         // post-bracket into misreporting the window as loaded
         Thread.sleep(3000)
         val post = ctlWindowEff()
         System.err.println(f"[bench] cluster pair $i ctl brackets $pre%.3f/$post%.3f")
-        LoopPair(lo, hi, math.min(pre, post))
+        r.map { case (lo, hi) => LoopPair(lo, hi, math.min(pre, post)) }
       }
 
-    // tmpfs hygiene: the shared long-point corpus table is RAM-backed
-    longCorpus.foreach(_ => dropCorpusLocation())
+    // tmpfs hygiene: the cluster-point corpus table is RAM-backed (the
+    // thread-point table was dropped before this one was generated)
+    clusterCorpus.foreach(_ => dropCorpusLocation(ClusterCorpusTable))
 
     val kthr8 = levelN.ku / levelN.kt
     val kthr32 = level4N.ku / level4N.kt
@@ -1098,7 +1140,8 @@ object Bench {
         val kRatios = kp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
         val lRatios = lp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
         val lCtls = lp.map(r => f"${r._4}%.2f").mkString("[", ",", "]")
-        (f""""cluster_scaling":{"mode":"local-cluster","execs_low":$execsLow,"execs_high":$execsHigh,"exec_cores":$clusterExecCores,"exec_mem_mb":$mem,"kernel":{"pairs":$kPairsStr,"thr_e4":$kThr4%.1f,"efficiency":$kEff%.3f},"loop":{"urls_steady":$urlsSteady,"pairs":$lPairsStr,"thr_e4":$lThr4%.1f,"efficiency":$lEff%.3f}},""",
+        val lPoint = clusterCorpus.map { case (d, b) => s"${d}x$b" }.getOrElse("")
+        (f""""cluster_scaling":{"mode":"local-cluster","execs_low":$execsLow,"execs_high":$execsHigh,"exec_cores":$clusterExecCores,"exec_mem_mb":$mem,"kernel":{"pairs":$kPairsStr,"thr_e4":$kThr4%.1f,"efficiency":$kEff%.3f},"loop":{"point":"$lPoint","urls_steady":$urlsSteady,"pairs":$lPairsStr,"thr_e4":$lThr4%.1f,"efficiency":$lEff%.3f}},""",
          f""""cluster_scaling":{"execs":"${execsLow}x$clusterExecCores->${execsHigh}x$clusterExecCores","kernel_ratios":$kRatios,"kernel_eff":$kEff%.3f,"loop_ratios":$lRatios,"loop_ctls":$lCtls,"loop_thr_e4":$lThr4%.1f,"loop_eff":$lEff%.3f},""")
       }
 
