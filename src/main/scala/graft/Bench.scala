@@ -922,13 +922,20 @@ object Bench {
     val clusterPairsN =
       if (queriesOnly || kernelOnly || loopOnly) 0
       else sys.env.getOrElse("SPARK_GRAFT_CLUSTER_PAIRS", "2").toInt
-    // The cluster loop crawls its OWN, cluster-sized long point (default
-    // 1.2M x 3): the thread-level 3.6M point would run ~10 min/rep on 2
-    // single-core executor JVMs. Same generator, seed and bucketed layout;
-    // generated HERE (after the headline phases) so the full-width write
-    // doesn't warm the box before part 1's quiet window.
+    // The cluster loop crawls its OWN, cluster-sized long point — default
+    // 2.4M x 2, i.e. ONE steady superstep of the SAME 1.2M-doc size as the
+    // thread criterion's supersteps (the thread-level 3.6M x 3 point would
+    // run ~10 min/rep on 2 single-core executor JVMs). Superstep size
+    // matters more than step count here: a 1.2Mx3 shape (400K-doc steps)
+    // was measured at eff 0.50 in the same windows where 2.4Mx2 read 0.71
+    // — small supersteps sit in the per-superstep commit/planning-floor
+    // regime (the same Amdahl term the thread sweep shows at 0.2-0.35),
+    // which deflates the ratio mechanically (the floor is a larger share
+    // of the FAST level's wall time). Same generator, seed and bucketed
+    // layout; generated HERE (after the headline phases) so the
+    // full-width write doesn't warm the box before part 1's quiet window.
     val clusterPoint: Option[(Int, Int)] =
-      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_LOOP_LONG", "1200000x3")
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_LOOP_LONG", "2400000x2")
         .split("x") match {
           case Array(d, b) => Some((d.trim.toInt, b.trim.toInt))
           case _ => None
