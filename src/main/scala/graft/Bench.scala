@@ -411,14 +411,18 @@ object Bench {
     * superstep 0 (bootstrap) included — the parent drops it. */
   private final case class LongRep(urls: Seq[Long], secs: Seq[Double])
 
-  /** One interleaved (N, 4N) long-point pair plus its WINDOW SCORE: the
+  /** One interleaved (N, 4N) long-point pair plus its WINDOW SCORES: the
     * no-Spark string-control scaling efficiency measured immediately
-    * before and after the pair (the pair's bracket), min of the two.
-    * A bracket ~0.92+ says the box's own thread scaling was clean while
-    * the pair ran; ~0.75 says an external tenant was squeezing pure-CPU
-    * work, and no measurement taken in that window can read above the
-    * machine's same-window ceiling. */
-  private final case class LoopPair(lo: LongRep, hi: LongRep, ctl: Double)
+    * before and after the pair (the pair's brackets) — `ctl` the lower,
+    * `ctlHi` the higher of the two. A bracket ~0.92+ says the box's own
+    * thread scaling was clean while the pair ran; ~0.75 says an external
+    * tenant was squeezing pure-CPU work (no measurement taken in that
+    * window can read above the machine's same-window ceiling); a bracket
+    * ABOVE ~1.05 is the mirror-image signal — thread scaling cannot be
+    * superlinear, so a control reading over 1.0 means the load squeezed
+    * the probe's own N level, the direction that INFLATES ratios. */
+  private final case class LoopPair(lo: LongRep, hi: LongRep,
+      ctl: Double, ctlHi: Double)
 
   /** Child-JVM entry: run ONE phase's measurements at ONE parallelism level
     * and write the results to `outPath`. The parent launches this in a JVM
@@ -798,12 +802,26 @@ object Bench {
     // per-superstep ratios cancels the drift term.
     val nPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS", "3").toInt
     val maxPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS_MAX", "5").toInt
-    // A pair's bracket counts as CLEAN at/above this string-control
-    // efficiency. Observed: quiet windows 0.92-0.97, loaded 0.74-0.85;
-    // the probe itself carries a few points of noise (min-of-3 over a
-    // ~1.4 s job), so the cut sits between the two populations, not at
-    // the quiet floor.
+    // A pair counts as CLEAN when BOTH its brackets sit inside the band
+    // [ctlClean, ctlCleanHi]. Lower cut: observed quiet windows read
+    // 0.92-0.97, loaded 0.74-0.85; the probe itself carries a few points
+    // of noise (min-of-3 over a ~1.4 s job), so the cut sits between the
+    // two populations, not at the quiet floor. Upper cut: thread scaling
+    // cannot be superlinear, so a control above ~1.0 (a 06:15 run
+    // recorded a 1.587 bracket) means the load hit the probe's own
+    // 2-thread level — an N-side squeeze, the direction that INFLATES
+    // the loop ratio (the 12:35 run's pair-1 lesson) — and the window is
+    // dirty in the flattering direction.
     val ctlClean = sys.env.getOrElse("SPARK_GRAFT_CTL_CLEAN", "0.88").toDouble
+    val ctlCleanHi =
+      sys.env.getOrElse("SPARK_GRAFT_CTL_CLEAN_HI", "1.05").toDouble
+    def pairClean(ctlLo: Double, ctlHi: Double): Boolean =
+      ctlLo >= ctlClean && ctlHi <= ctlCleanHi
+    // The reported per-pair score is the DECISIVE bracket: the one
+    // outside the band when the pair is dirty (so an excluded pair's
+    // number explains its exclusion), the conservative min otherwise.
+    def ctlReport(ctlLo: Double, ctlHi: Double): Double =
+      if (ctlHi > ctlCleanHi) ctlHi else ctlLo
     // The window probe: the no-Spark string-pipeline control at both
     // levels, back-to-back (~15 s total against a ~4-minute pair). Run
     // before AND after each pair; the pair's score is the worse bracket.
@@ -819,9 +837,8 @@ object Bench {
         if (i % 2 == 1) (spawnLooplong(pLow), spawnLooplong(pHigh))
         else { val h = spawnLooplong(pHigh); (spawnLooplong(pLow), h) }
       val post = ctlWindowEff()
-      val ctl = math.min(pre, post)
       System.err.println(f"[bench] pair $i ctl brackets $pre%.3f/$post%.3f")
-      LoopPair(lo, hi, ctl)
+      LoopPair(lo, hi, math.min(pre, post), math.max(pre, post))
     }
     // One pair's whole-run steady-state ratio — the headline's sample unit
     // (same formula as the stats block below; duplicated here so the
@@ -856,10 +873,10 @@ object Bench {
         while (ps.size < maxPairs && {
           val rs = ps.map(pairRatio)
           median(rs) < 0.85 || rs.max - rs.min > 0.25 ||
-            ps.count(_.ctl >= ctlClean) < 2
+            ps.count(p => pairClean(p.ctl, p.ctlHi)) < 2
         }) {
           val rs = ps.map(pairRatio)
-          System.err.println(f"[bench] loop pairs noisy (median ${median(rs)}%.3f, spread ${rs.max - rs.min}%.3f, clean ${ps.count(_.ctl >= ctlClean)}) — adding pair ${ps.size + 1}")
+          System.err.println(f"[bench] loop pairs noisy (median ${median(rs)}%.3f, spread ${rs.max - rs.min}%.3f, clean ${ps.count(p => pairClean(p.ctl, p.ctlHi))}) — adding pair ${ps.size + 1}")
           ps = ps :+ runLoopPair(ps.size + 1)
         }
         ps
@@ -990,7 +1007,8 @@ object Bench {
         Thread.sleep(3000)
         val post = ctlWindowEff()
         System.err.println(f"[bench] cluster pair $i ctl brackets $pre%.3f/$post%.3f")
-        r.map { case (lo, hi) => LoopPair(lo, hi, math.min(pre, post)) }
+        r.map { case (lo, hi) =>
+          LoopPair(lo, hi, math.min(pre, post), math.max(pre, post)) }
       }
 
     // tmpfs hygiene: the cluster-point corpus table is RAM-backed (the
@@ -1044,7 +1062,7 @@ object Bench {
         val pairRows = ps.map { p =>
           val sN = p.lo.secs.drop(1).sum
           val s4 = p.hi.secs.drop(1).sum
-          (sN, s4, (sN / s4) / 4.0, p.ctl)
+          (sN, s4, (sN / s4) / 4.0, p.ctl, p.ctlHi)
         }
         val stepRatios = stepsN.zip(steps4).flatMap { case (sN, s4) =>
           sN.zip(s4).map { case (a, b) => (a / b) / 4.0 }
@@ -1086,23 +1104,30 @@ object Bench {
         // artifact, so the gate is auditable sample-by-sample. The gate
         // can only miss load that arrives strictly between brackets,
         // which leaves squeezed pairs IN the clean set — it understates,
-        // never inflates. Fewer than 2 clean pairs (sustained load even
-        // after escalation): fall back to the all-pair median rather
-        // than headline a 1-sample "median".
+        // never inflates. The band is TWO-SIDED: a bracket above
+        // ctlCleanHi is a superlinear control reading, i.e. the load hit
+        // the probe's own N level — the direction that INFLATES loop
+        // ratios — so it marks the window dirty just like a low one.
+        // Fewer than 2 clean pairs (sustained load even after
+        // escalation): fall back to the all-pair median rather than
+        // headline a 1-sample "median".
         val cleanRatios =
-          pairRows.filter(_._4 >= ctlClean).map(_._3)
+          pairRows.filter(p => pairClean(p._4, p._5)).map(_._3)
         val effClean =
           if (cleanRatios.size >= 2) median(cleanRatios) else effPairMedian
         val headline = effClean
-        val pairsStr = pairRows.map { case (sN, s4, r, c) =>
-          f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f,"ctl":$c%.3f}"""
+        val pairsStr = pairRows.map { case (sN, s4, r, c, cHi) =>
+          f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f,"ctl":$c%.3f,"ctl_hi":$cHi%.3f}"""
         }.mkString("[", ",", "]")
         val ratiosStr = stepRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
         val secNArr = pairRows.map(r => f"${r._1}%.1f").mkString("[", ",", "]")
         val sec4Arr = pairRows.map(r => f"${r._2}%.1f").mkString("[", ",", "]")
         val prArr = pairRows.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        val ctlArr = pairRows.map(r => f"${r._4}%.3f").mkString("[", ",", "]")
-        val gateStr = f""""pair_ctls":$ctlArr,"ctl_clean":$ctlClean%.2f,"clean_pairs":${cleanRatios.size},"efficiency_all_pairs":$effPairMedian%.3f,"""
+        // the compact line reports each pair's DECISIVE bracket (see
+        // ctlReport): out-of-band values explain their own exclusion
+        val ctlArr = pairRows.map(r => f"${ctlReport(r._4, r._5)}%.3f")
+          .mkString("[", ",", "]")
+        val gateStr = f""""pair_ctls":$ctlArr,"ctl_clean":$ctlClean%.2f,"ctl_clean_hi":$ctlCleanHi%.2f,"clean_pairs":${cleanRatios.size},"efficiency_all_pairs":$effPairMedian%.3f,"""
         Some((thr4f, headline,
           f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},""",
           f""""long":{"batches":$b,"n_docs":$d,"urls_steady":$urlsSteady,"sec_pN":$secNArr,"sec_p4N":$sec4Arr,"pair_ratios":$prArr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},"""))
@@ -1136,7 +1161,8 @@ object Bench {
           .mkString("[", ",", "]")
         val lp = clusterLoopPairs.map { p =>
           val sN = p.lo.secs.drop(1).sum; val s4 = p.hi.secs.drop(1).sum
-          (sN, s4, (sN / s4) / (execsHigh.toDouble / execsLow), p.ctl) }
+          (sN, s4, (sN / s4) / (execsHigh.toDouble / execsLow),
+            ctlReport(p.ctl, p.ctlHi)) }
         val urlsSteady = clusterLoopPairs.headOption
           .map(_.lo.urls.drop(1).sum).getOrElse(0L)
         val lEff = if (lp.nonEmpty) median(lp.map(_._3)) else 0.0
