@@ -116,6 +116,11 @@ object CrawlLoop {
     var bucketPaths: Map[String, String] = Map.empty
     var perBucket: Map[String, Long] = Map.empty
     var book: SeenSet.FilterBook = SeenSet.emptyBook()
+    // urls retired from the cuckoo-live view, awaiting re-crawl: liveness
+    // is restored (and the record shrinks) when one is popped again.
+    // Maintenance-sized (written by [[retire]]), so a driver set is right.
+    var pendingRetired: Set[String] = Set.empty
+    var retiredPath: Option[String] = None
 
     // one row per host, whatever the input shape: a (malformed) multi-row
     // host must neither inflate counts nor duplicate rows through the gate.
@@ -134,6 +139,10 @@ object CrawlLoop {
         bucketPaths = m.bucketPaths
         perBucket = m.perBucketRows
         filtersPaths = m.filtersPaths
+        retiredPath = m.retiredPath
+        pendingRetired = m.retiredPath
+          .map(p => spark.read.parquet(p).collect().map(_.getString(0)).toSet)
+          .getOrElse(Set.empty)
         if (bucketPaths.isEmpty && m.frontierPath.nonEmpty) {
           // manifest written before delta snapshots existed: frontierPath
           // held the whole frontier — synthesize the bucket map from it
@@ -206,7 +215,8 @@ object CrawlLoop {
             popBatchPath = popBatchPath(stateDir, batch),
             filtersPaths = filtersPaths, bucketPaths = bucketPaths,
             perBucketRows = perBucket,
-            metrics = None, seed = seed, nDocs = nDocs))
+            metrics = None, seed = seed, nDocs = nDocs,
+            retiredPath = retiredPath))
           val m = obs.get
           (committed, m("popped").asInstanceOf[Long],
             m("buckets").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Number].intValue))
@@ -215,6 +225,18 @@ object CrawlLoop {
       pendingPop = None
       if (popped == 0) { done = true }
       else {
+        // pending-retired urls re-popped this superstep: their cuckoo
+        // liveness is restored in phase 4 and the pending record shrinks
+        // at commit — the retire → re-crawl → live-again lifecycle. The
+        // extra job only exists while a pending record does (steady state
+        // pays nothing); the set is maintenance-sized, so isInCollection
+        // stays a cheap in-list predicate on the committed pop batch.
+        val repopped: Array[String] =
+          if (!maintainFilters || pendingRetired.isEmpty) Array.empty
+          else pop.select(col("url"))
+            .filter(col("url").isInCollection(pendingRetired))
+            .collect().map(_.getString(0))
+
         // ---- phase 2: robots gate → fetch → parse ----
         // One corpus scan per superstep; allowed/matched/fetched counts ride
         // the downstream parse action as observe() metrics.
@@ -374,10 +396,22 @@ object CrawlLoop {
         // fold into one dir (and one filter per bucket in the map).
         if (maintainFilters) timed("filters", batch) {
           val newFiltersPath = Snapshots.filtersPath(stateDir, batch)
-          val shards = byBucket
+          val freshShards = byBucket
             .filter(r => r.getAs[Long]("fresh") > 0)
             .map(r => FilterShard(r.getAs[Int]("bucket"),
               r.getAs[Array[Byte]]("bloom"), r.getAs[Array[Byte]]("cuckoo")))
+          // re-popped pending-retired urls ride the same delta as extra
+          // per-bucket rows (membership is ANY-delta): cuckoo says live
+          // again from this superstep's commit on. Empty in steady state.
+          val reinsShards =
+            if (repopped.isEmpty) Array.empty[FilterShard]
+            else {
+              import spark.implicits._
+              collectShards(SeenSet.buildFilters(
+                repopped.toSeq.toDF("url").withColumn(
+                  "bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))))
+            }
+          val shards = freshShards ++ reinsShards
           writeShards(spark, shards, newFiltersPath)
           filtersPaths = filtersPaths :+ newFiltersPath
           book = SeenSet.appendDelta(spark, book, bloomDeltaOf(shards))
@@ -390,8 +424,18 @@ object CrawlLoop {
             // compactBook destroys the superseded delta broadcasts, so one
             // generation of filter bytes is live at a time.
             val compacted = newFiltersPath + "-compacted"
-            val cShards = collectShards(SeenSet.buildFilters(
-              readFrontier(spark, bucketPaths).select("url", "bucket")))
+            // still-pending retired urls stay OUT of the rebuilt cuckoo
+            // (Bloom keeps them: "ever inserted") — without the exclusion
+            // a compaction would silently resurrect their liveness before
+            // the re-crawl happened
+            val cBase = readFrontier(spark, bucketPaths).select("url", "bucket")
+            val cShards = collectShards(
+              if (pendingRetired.isEmpty) SeenSet.buildFilters(cBase)
+              else {
+                import spark.implicits._
+                SeenSet.buildFiltersExcluding(
+                  cBase, pendingRetired.toSeq.toDF("url"))
+              })
             writeShards(spark, cShards, compacted)
             filtersPaths = Seq(compacted)
             book = SeenSet.compactBook(spark, book, bloomDeltaOf(cShards))
@@ -407,12 +451,27 @@ object CrawlLoop {
           elapsedMs = (System.nanoTime() - tb) / 1000000L)
         metricsOut += m
 
+        if (repopped.nonEmpty) {
+          // shrink the pending-retired record (rewrite is O(pending), and
+          // only happens on supersteps that actually re-fetched one)
+          pendingRetired = pendingRetired -- repopped
+          retiredPath =
+            if (pendingRetired.isEmpty) None
+            else {
+              import spark.implicits._
+              val p = s"${batchDir(stateDir, batch)}/retired"
+              pendingRetired.toSeq.toDF("url")
+                .write.mode(SaveMode.Overwrite).parquet(p)
+              Some(p)
+            }
+        }
+
         Snapshots.commit(stateDir, Manifest(
           batch, "done", frontierPath = fPath,
           popBatchPath = popBatchPath(stateDir, batch),
           filtersPaths = filtersPaths, bucketPaths = bucketPaths,
           perBucketRows = perBucket, metrics = Some(m),
-          seed = seed, nDocs = nDocs))
+          seed = seed, nDocs = nDocs, retiredPath = retiredPath))
 
         pop.unpersist()
         if (cfg.indexWhileCrawling) fetchedAll.unpersist()
@@ -433,13 +492,30 @@ object CrawlLoop {
     *   - the frontier row's `popped` flag clears (re-poppable at its
     *     accumulated priority — the next run's politeness window competes
     *     it normally);
-    *   - its fingerprint is DELETED from every persisted cuckoo delta —
-    *     the capability the north star pairs cuckoo with Bloom for. Bloom
-    *     blobs stay untouched: Bloom remains "ever inserted" (the dedup
-    *     split's no-false-negative contract keeps holding, so a retired
-    *     url seen as a link still routes through the exact merge and never
-    *     duplicates its frontier row), while cuckoo becomes "currently
-    *     live" and drives re-crawl decisions.
+    *   - its cuckoo membership is removed — the capability the north star
+    *     pairs cuckoo with Bloom for. Bloom blobs stay untouched: Bloom
+    *     remains "ever inserted" (the dedup split's no-false-negative
+    *     contract keeps holding, so a retired url seen as a link still
+    *     routes through the exact merge and never duplicates its frontier
+    *     row), while cuckoo answers "currently live";
+    *   - it lands in the manifest's PENDING-RETIRED record: the next
+    *     crawl run restores its cuckoo liveness when it is popped
+    *     (fetched again) and drops it from the record, closing the
+    *     retire → re-crawl → live-again lifecycle; compaction excludes
+    *     still-pending urls so liveness survives filter rebuilds.
+    *
+    * The cuckoo removal is an EXACT REBUILD of the touched buckets'
+    * filter rows from the authoritative frontier slice — not a blob-level
+    * `delete` against every delta. A cuckoo delete is only sound for keys
+    * known inserted into THAT filter (Fan et al. 2014 §3): a url lives in
+    * exactly one delta (the superstep that first saw it), so deleting its
+    * fingerprint from the others could evict a colliding entry that
+    * belongs to a different live url. The rebuild has no such failure
+    * mode: Bloom is rebuilt from every url in the bucket ("ever
+    * inserted" — frontier rows are never deleted), cuckoo from the urls
+    * that probe live in the OLD deltas (carrying forward earlier
+    * retirements) minus the pending-retired set. Touched buckets then
+    * live in exactly one (new) delta; untouched buckets pass through.
     *
     * IO is O(touched buckets + filter deltas): only frontier bucket dirs
     * holding a retired url rewrite (delta snapshot, like a superstep);
@@ -464,9 +540,20 @@ object CrawlLoop {
     var k = 0
     while (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base-$k"))) k += 1
 
+    // pending-retired record: prior still-pending urls plus this op's
+    val pendingAll = m.retiredPath
+      .map(p => spark.read.parquet(p).select(col("url")))
+      .getOrElse(retireUrls.select(col("url")).limit(0))
+      .unionByName(retireUrls.select(col("url"))).distinct().persist()
+    val retiredOut = s"$base-$k/retired"
+    pendingAll.write.mode(SaveMode.Overwrite).parquet(retiredOut)
+
     var bucketPaths = m.bucketPaths
+    var filtersPaths = m.filtersPaths
     if (changed.nonEmpty) {
-      val slice = readFrontier(spark, m.bucketPaths.filter(kv => changed.contains(kv._1)))
+      val slice =
+        readFrontier(spark, m.bucketPaths.filter(kv => changed.contains(kv._1)))
+          .persist()
       val outDir = s"$base-$k/frontier"
       val snapCols =
         if (cfg.splitSnapshotsByPopped) Seq("bucket", "popped") else Seq("bucket")
@@ -474,16 +561,41 @@ object CrawlLoop {
         .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite).partitionBy(snapCols: _*).parquet(outDir)
       bucketPaths = bucketPaths ++ changed.map(_ -> outDir)
-    }
-    val filtersPaths = m.filtersPaths.zipWithIndex.map { case (p, i) =>
-      val outDir = s"$base-$k/filters-$i"
-      SeenSet.retireFromFilters(spark.read.parquet(p), retireUrls)
-        .write.mode(SaveMode.Overwrite).parquet(outDir)
-      outDir
+
+      if (m.filtersPaths.nonEmpty) {
+        // exact rebuild of the touched buckets' filter rows (doc above):
+        // liveness carries forward via a probe of the OLD deltas, the
+        // pending-retired set is excluded, Bloom keeps every url
+        val old = m.filtersPaths.map(spark.read.parquet).reduce(_.unionByName(_))
+        val live = SeenSet.probeCuckoo(
+          slice.select(col("url"), col("bucket")), old)
+        val marked = live.join(
+          broadcast(pendingAll.withColumn("__retired", lit(1))), Seq("url"), "left")
+        val bloomUdaf = udaf(new SeenSet.BloomAggregator(0.03))
+        val cuckooUdaf = udaf(new SeenSet.CuckooAggregator)
+        val rebuilt = marked.groupBy(col("bucket")).agg(
+          bloomUdaf(col("url")).as("bloom"),
+          cuckooUdaf(when(col("seenish") && col("__retired").isNull, col("url")))
+            .as("cuckoo"))
+        val changedInts = changed.map(_.toInt)
+        val rewritten = m.filtersPaths.zipWithIndex.map { case (p, i) =>
+          val outDir = s"$base-$k/filters-$i"
+          spark.read.parquet(p).filter(!col("bucket").isin(changedInts: _*))
+            .write.mode(SaveMode.Overwrite).parquet(outDir)
+          outDir
+        }
+        val rebuiltDir = s"$base-$k/filters-rebuilt"
+        rebuilt.write.mode(SaveMode.Overwrite).parquet(rebuiltDir)
+        filtersPaths = rewritten :+ rebuiltDir
+      }
+      slice.unpersist()
     }
     retireUrls.unpersist()
+    val pendingEmpty = pendingAll.isEmpty
+    pendingAll.unpersist()
     Snapshots.commit(stateDir, m.copy(
-      bucketPaths = bucketPaths, filtersPaths = filtersPaths))
+      bucketPaths = bucketPaths, filtersPaths = filtersPaths,
+      retiredPath = if (pendingEmpty) None else Some(retiredOut)))
   }
 
   /** Per-batch metrics live in the committed manifest history (one JSON per

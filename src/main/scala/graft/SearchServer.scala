@@ -109,14 +109,19 @@ object SearchServer {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/search", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-          .split("&").iterator
-          .map(_.split("=", 2))
-          .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }
-          .toMap
-        val html = params.get("format").contains("html")
+        val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        // the html-mode flag is read WITHOUT percent-decoding so it cannot
+        // throw: the error branches below need it to pick the content type
+        val html = raw.split("&").contains("format=html")
         val resp =
           try {
+            // decoding lives INSIDE the try: a malformed escape ("%zz", a
+            // bare trailing "%") must yield the 500 error body, not an
+            // exception escaping handle() and a dropped connection
+            val params = raw.split("&").iterator
+              .map(_.split("=", 2))
+              .collect { case Array(k, v) => k -> URLDecoder.decode(v, UTF_8) }
+              .toMap
             val q = params.getOrElse("query", "")
             val body =
               if (html) searchHtml(spark, postings, docmeta, q, topK, termCountGate)

@@ -251,6 +251,23 @@ object SeenSet {
       .agg(bloomAgg(col("url")).as("bloom"), cuckooAgg(col("url")).as("cuckoo"))
   }
 
+  /** [[buildFilters]] variant whose CUCKOO excludes `excludedUrls` while
+    * Bloom still takes every url — the rebuild shape when pending-retired
+    * urls exist: Bloom stays "ever inserted", cuckoo stays "currently
+    * live". `excludedUrls` (a one-column `url` frame) is broadcast — it is
+    * maintenance-sized by construction. */
+  def buildFiltersExcluding(urlsWithBucket: DataFrame, excludedUrls: DataFrame,
+                            fpp: Double = 0.03): DataFrame = {
+    val bloomAgg = udaf(new BloomAggregator(fpp))
+    val cuckooAgg = udaf(new CuckooAggregator)
+    urlsWithBucket
+      .join(broadcast(excludedUrls.select(col("url")).distinct()
+        .withColumn("__excluded", lit(1))), Seq("url"), "left")
+      .groupBy(col("bucket"))
+      .agg(bloomAgg(col("url")).as("bloom"),
+        cuckooAgg(when(col("__excluded").isNull, col("url"))).as("cuckoo"))
+  }
+
   /** Retire urls from a (bucket, bloom, cuckoo) filter table: deletes each
     * url's fingerprint from its bucket's CUCKOO filter — the capability the
     * north star pairs cuckoo with Bloom for (Fan et al. 2014 §1; Bloom
@@ -259,6 +276,15 @@ object SeenSet {
     * inserted" (the dedup split's no-false-negative guarantee keeps
     * holding), cuckoo = "currently live" (drives re-crawl decisions —
     * the reference's popped-entry semantics, src/page.rs:33-50).
+    *
+    * RESTRICTION (Fan et al. 2014 §3): cuckoo deletion is only sound for
+    * keys known to have been inserted into THIS filter table — deleting a
+    * never-inserted key can evict a colliding fingerprint that belongs to
+    * a different live key. Apply it to the table the urls were built into
+    * (the single-table maintenance shape, and what the q45 oracle pins).
+    * The crawl loop's multi-DELTA book never uses it: a url lives in
+    * exactly one delta, so [[graft.CrawlLoop.retire]] instead rebuilds the
+    * touched buckets' rows exactly from the frontier slice.
     *
     * Shape: retire urls aggregate per bucket (one shuffle of the tiny
     * retire set), then join the one-row-per-bucket filter table — the

@@ -36,7 +36,14 @@ final case class Manifest(
     perBucketRows: Map[String, Long], // lineage: frontier rows per bucket
     metrics: Option[BatchMetrics],
     seed: Long,
-    nDocs: Int)
+    nDocs: Int,
+    // Pending-retired urls (parquet dir, url column): retired from the
+    // cuckoo "currently live" view and awaiting re-crawl. The loop restores
+    // a url's cuckoo liveness when it is next popped (fetched again) and
+    // drops it from this record; compaction excludes still-pending urls
+    // when it rebuilds the filters from the frontier. None = no pending
+    // retirements (the steady state; absent in pre-retire manifests).
+    retiredPath: Option[String] = None)
 
 object Snapshots {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)

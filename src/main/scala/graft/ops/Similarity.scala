@@ -86,8 +86,12 @@ object Similarity {
     * sets are supersets of single-table ones (test-pinned). */
   def lshBuckets(vectors: DataFrame, planes: Int, tables: Int = 1): DataFrame = {
     // one-row peek for the dimensionality (the matrix must be sized before
-    // the plan is built; the action reads a single row, not the table)
-    val dim = vectors.select(size(col("embedding"))).head.getInt(0)
+    // the plan is built; the action reads a single row, not the table);
+    // an empty input yields an empty (vec_id, bucket) frame, not a crash
+    val peek = vectors.select(size(col("embedding"))).limit(1).collect()
+    if (peek.isEmpty)
+      return vectors.select(col("vec_id"), lit(0L).as("bucket")).limit(0)
+    val dim = peek(0).getInt(0)
     val weights: Seq[Seq[Double]] = Seq.tabulate(tables * planes, dim)(planeWeightLocal)
     val wLit = typedLit(weights)
     val byPlane = vectors

@@ -202,9 +202,26 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
     assert(probe(m0.filtersPaths) == ((true, true))) // fetched: both filters hit
 
+    // full cuckoo-live set before/after: retire is an EXACT rebuild of the
+    // touched buckets, so no other url's membership may change (the old
+    // delete-from-every-delta form could evict a colliding fingerprint
+    // belonging to a different live url)
+    val allUrls = before.keys.toSeq
+    def liveSet(paths: Seq[String]): Set[String] = {
+      val f = paths.map(spark.read.parquet).reduce(_ unionByName _)
+      val in = allUrls.toDF("url")
+        .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
+      SeenSet.probeCuckoo(in, f).filter(col("seenish"))
+        .select("url").collect().map(_.getString(0)).toSet
+    }
+    val liveBefore = liveSet(m0.filtersPaths)
+    assert(liveBefore == allUrls.toSet) // every frontier url was inserted
+
     CrawlLoop.retire(spark, dir, Seq(victim).toDF("url"), cfg)
 
     val m1 = Snapshots.readCurrent(dir).get
+    assert(liveSet(m1.filtersPaths) == liveBefore - victim)
+    assert(m1.retiredPath.nonEmpty) // pending-retired record committed
     // only the victim's row changed, and only its popped flag
     val after = Snapshots.readFrontier(spark, m1.bucketPaths)
       .select("url", "priority", "popped").collect()
@@ -221,13 +238,19 @@ class CrawlEngineSpec extends AnyFunSuite {
       .select("url").collect().map(_.getString(0)).toSet
     assert(repop.contains(victim))
     // and the committed retire state resumes cleanly: the loop crawls on
-    // without duplicating the victim's frontier row
-    runEngine(dir, cfg.copy(maxBatches = 5))
+    // without duplicating the victim's frontier row. The unconstrained
+    // budget guarantees the victim is re-popped (re-fetched), which must
+    // RESTORE its cuckoo liveness and drain the pending-retired record —
+    // the full retire → re-crawl → live-again lifecycle.
+    runEngine(dir, cfg.copy(maxBatches = 5, batchSize = 10000, perHostCap = 10000))
     val mFinal = Snapshots.readCurrent(dir).get
     assert(mFinal.batch > m1.batch)
     val finalRows = Snapshots.readFrontier(spark, mFinal.bucketPaths)
       .filter(col("url") === victim).collect()
     assert(finalRows.length == 1)
+    assert(finalRows.head.getAs[Boolean]("popped")) // re-fetched
+    assert(probe(mFinal.filtersPaths) == ((true, true))) // live again
+    assert(mFinal.retiredPath.isEmpty) // pending record drained
   }
 
   test("popped-partitioned snapshots: identical crawl, resume, and metrics") {

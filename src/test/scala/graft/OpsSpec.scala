@@ -196,6 +196,13 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH on an empty vectors frame: empty buckets/top-k, no crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshBuckets(empty, planes = 4).collect().isEmpty)
+    assert(Similarity.lshBuckets(empty, planes = 4, tables = 3).collect().isEmpty)
+    assert(Similarity.lshTopK(empty, planes = 4, k = 3).collect().isEmpty)
+  }
+
   test("multi-table LSH: table 0 equals single-table; best sims never drop") {
     val vecs = (0L until 50L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))

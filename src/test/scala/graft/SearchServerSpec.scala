@@ -65,7 +65,36 @@ class SearchServerSpec extends AnyFunSuite {
       assert(c2 == 200 && b2.contains("\"count\":0"))
       val (c3, b3) = get(s"http://localhost:$port/search?query=")
       assert(c3 == 200 && b3.contains("\"count\":0"))
+
+      // a malformed percent-escape must never drop the connection without
+      // a response: the JDK server 400s URIs its own parser rejects, and
+      // anything that reaches the handler decodes INSIDE the try so the
+      // 500 error body comes back instead of an exception escaping
+      // handle(). Raw socket: HttpClient would refuse to build these URIs.
+      val (c4, _) = rawGet(port, "/search?query=%zz")
+      assert(c4 == 400 || c4 == 500)
+      val (c5, _) = rawGet(port, "/search?query=100%")
+      assert(c5 == 400 || c5 == 500)
     } finally server.stop(0)
+  }
+
+  /** Send a request line verbatim (invalid escapes included) and read the
+    * status code — empty body reads are fine, the status is the contract. */
+  private def rawGet(port: Int, pathQuery: String): (Int, String) = {
+    val s = new java.net.Socket("localhost", port)
+    try {
+      s.setSoTimeout(10000)
+      val out = s.getOutputStream
+      out.write(
+        s"GET $pathQuery HTTP/1.1\r\nHost: localhost\r\nConnection: close\r\n\r\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+      val all = new String(s.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(all.startsWith("HTTP/1.1 "), s"no status line in: $all")
+      val code = all.split(" ", 3)(1).toInt
+      (code, all.split("\r\n\r\n", 2).lift(1).getOrElse(""))
+    } finally s.close()
   }
 
   test("format=html renders the reference's results page") {
