@@ -830,12 +830,26 @@ object Bench {
       val h = timedParseControl(150000, pHigh, reps = 3)
       (n / h) / 4.0
     }
+    // Experiment knob (codec A/B, BENCH.md §0): cycle the loop children's
+    // shuffle/broadcast/spill codec across pairs ("zstd,lz4" → pair i uses
+    // entry (i-1) % len), parquet codec fixed — matched-window per-pair
+    // attribution of the SHUFFLE codec on the loop, the cell experiments
+    // 1/3 left open (exp 1 changed shuffle+parquet together; exp 3 changed
+    // only parquet). Empty (default) = inherit; never set on criterion runs.
+    val loopCodecAb: Seq[String] =
+      sys.env.getOrElse("SPARK_GRAFT_LOOP_CODEC_AB", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     def runLoopPair(i: Int): LoopPair = {
-      System.err.println(s"[bench] long-point pair $i")
+      val codecEnv: Map[String, String] =
+        if (loopCodecAb.isEmpty) Map.empty
+        else Map("SPARK_GRAFT_IO_CODEC" ->
+          loopCodecAb((i - 1) % loopCodecAb.size))
+      System.err.println(s"[bench] long-point pair $i" +
+        codecEnv.values.map(c => s" (io codec $c)").mkString)
       val pre = ctlWindowEff()
       val (lo, hi) =
-        if (i % 2 == 1) (spawnLooplong(pLow), spawnLooplong(pHigh))
-        else { val h = spawnLooplong(pHigh); (spawnLooplong(pLow), h) }
+        if (i % 2 == 1) (spawnLooplong(pLow, codecEnv), spawnLooplong(pHigh, codecEnv))
+        else { val h = spawnLooplong(pHigh, codecEnv); (spawnLooplong(pLow, codecEnv), h) }
       val post = ctlWindowEff()
       System.err.println(f"[bench] pair $i ctl brackets $pre%.3f/$post%.3f")
       LoopPair(lo, hi, math.min(pre, post), math.max(pre, post))
