@@ -549,8 +549,13 @@ object Bench {
       // q28's sweep-chosen setting (SURVEY §8.3): 8 tables x 5 planes
       val lsh = pairs(Similarity.lshTopK(e, planes = 5, k = 3, tables = 8))
       val ivf = pairs(Similarity.ivfTopK(queriesDf, e, kCells = 16, nprobe = 4, k = 3))
+      // q53's sweep-chosen setting: 16 subspaces x 64 codewords, 2 Lloyd
+      // iterations — recall at a 16x compression of the scored corpus
+      val pq = pairs(Similarity.pqTopK(queriesDf, e, m = 16, kCodes = 64,
+        iters = 2, k = 3))
       w.println(f"ann=${(lsh & brute).size.toDouble / brute.size}%.6f," +
-        f"${(ivf & brute).size.toDouble / brute.size}%.6f")
+        f"${(ivf & brute).size.toDouble / brute.size}%.6f," +
+        f"${(pq & brute).size.toDouble / brute.size}%.6f")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann_recall: ${e.getMessage}")
     }
@@ -686,13 +691,14 @@ object Bench {
     (v("ku").toLong, v("kt").toDouble)
   }
 
-  private def spawnQueries(): (Seq[(String, Double)], Option[(Double, Double)]) = {
+  private def spawnQueries(): (Seq[(String, Double)], Option[(Double, Double, Double)]) = {
     val lines = spawnChild(32, "queries")
     val qs = lines.filter(_.startsWith("q=")).map { l =>
       val Array(n, t) = l.drop(2).split(","); (n, t.toDouble)
     }
     val ann = lines.find(_.startsWith("ann=")).map { l =>
-      val Array(a, b) = l.drop(4).split(","); (a.toDouble, b.toDouble)
+      val Array(a, b, c) = l.drop(4).split(",")
+      (a.toDouble, b.toDouble, c.toDouble)
     }
     (qs, ann)
   }
@@ -1202,7 +1208,8 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val annStr = annRecall
-      .map { case (l, i) => f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f}""" }
+      .map { case (l, i, p) =>
+        f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f,"pq_q53":$p%.3f}""" }
       .getOrElse("")
     val kernelRatiosStr =
       kernelPairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")

@@ -149,6 +149,23 @@ object QueriesData {
           col("rank").cast("long").as("rank"), col("sim"))
     }),
 
+    // PQ-ADC ANN (Jégou et al. 2011): 16 subspaces × 64 codewords trained
+    // with 2 Euclidean Lloyd iterations (integer-scaled deterministic
+    // means), corpus stored as 16 codes/vector (16× compression), queries
+    // scored via a broadcast lookup table of integer-scaled partials —
+    // the memory-bound ANN path where even IVF's raw embeddings are too
+    // big to keep hot. (m, kCodes) is the AnnSweep-chosen point: recall@3
+    // 0.44 at 16× on the near-uniform synthetic embeddings (the LSH-style
+    // worst case — see SURVEY §8.3); higher compression trades recall
+    // smoothly (0.14 at 64×), all settings measured in the sweep.
+    "q53_pq_ann" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.pqTopK(e.filter(col("vec_id") < 40), e,
+          m = 16, kCodes = 64, iters = 2, k = 3)
+        .select(col("vec_id"), col("nn_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     "q30_media_meta" -> ((s, d) =>
       MultiModal.metaOnly(
@@ -447,6 +464,42 @@ object QueriesData {
         "WHERE p.qid <> m.vec_id) " +
         "SELECT vec_id, nn_id, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
         "FROM pairs QUALIFY rank <= 3")
+    },
+
+    "q53_pq_ann" -> {
+      // PQ twin: same exploded (vec_id, sub, se) frame, Euclidean
+      // assignment argmax dot(x,c) − ‖c‖²/2, integer-scaled codeword
+      // means (2^20 BIGINT sums — order-independent, both engines agree
+      // bit-for-bit), ADC scoring over BIGINT partial sums. Keep-old-
+      // codeword rule mirrored via left join + coalesce.
+      def score(v: String, c: String): String =
+        s"list_dot_product($v.se, $c.emb) - list_dot_product($c.emb, $c.emb)/2"
+      def iter(prev: String, asg: String, sums: String, next: String): String =
+        s"$asg AS (SELECT v.vec_id, v.sub, c.cid AS code FROM subv v JOIN $prev c USING (sub) " +
+          s"QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY ${score("v", "c")} DESC, c.cid ASC) = 1), " +
+          s"$sums AS (SELECT a.sub, a.code, t.i AS ord, " +
+          "SUM(CAST(round(v.se[t.i] * 1048576.0) AS BIGINT)) AS s, COUNT(*) AS n " +
+          s"FROM $asg a JOIN subv v ON v.vec_id = a.vec_id AND v.sub = a.sub, range(1, 5) t(i) GROUP BY a.sub, a.code, t.i), " +
+          s"${next}_new AS (SELECT sub, code AS cid, list(s::DOUBLE / n / 1048576.0 ORDER BY ord) AS emb FROM $sums GROUP BY sub, code), " +
+          s"$next AS (SELECT p.sub, p.cid, coalesce(t.emb, p.emb) AS emb FROM $prev p LEFT JOIN ${next}_new t ON t.sub = p.sub AND t.cid = p.cid)"
+      ("WITH subs AS (SELECT unnest(generate_series(0, 15)) AS sub), " +
+        "subv AS (SELECT e.vec_id, s.sub, list_transform(generate_series(1, 4), i -> e.embedding[s.sub * 4 + i]::DOUBLE) AS se FROM embeddings e, subs s), " +
+        "b0 AS (SELECT sub, vec_id AS cid, se AS emb FROM subv WHERE vec_id < 64), " +
+        iter("b0", "a1", "s1", "b1") + ", " +
+        iter("b1", "a2", "s2", "b2") + ", " +
+        "codes AS (SELECT v.vec_id, v.sub, c.cid AS code FROM subv v JOIN b2 c USING (sub) " +
+        s"QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY ${score("v", "c")} DESC, c.cid ASC) = 1), " +
+        "lut AS (SELECT v.vec_id AS qid, v.sub, c.cid AS code, " +
+        "CAST(round(list_dot_product(v.se, c.emb) * 1048576.0) AS BIGINT) AS dotm, " +
+        "CAST(round(list_dot_product(c.emb, c.emb) * 1048576.0) AS BIGINT) AS n2m " +
+        "FROM subv v JOIN b2 c USING (sub) WHERE v.vec_id < 40), " +
+        "scored AS (SELECT l.qid, cd.vec_id, SUM(l.dotm) AS dots, SUM(l.n2m) AS n2s " +
+        "FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.code = cd.code GROUP BY l.qid, cd.vec_id), " +
+        "qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn FROM embeddings WHERE vec_id < 40), " +
+        "sims AS (SELECT s.qid, s.vec_id AS nid, (s.dots::DOUBLE / 1048576.0) / (q.qn * sqrt(s.n2s::DOUBLE / 1048576.0)) AS sim " +
+        "FROM scored s JOIN qn q USING (qid) WHERE s.qid <> s.vec_id) " +
+        "SELECT qid AS vec_id, nid AS nn_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM sims QUALIFY rank <= 3")
     },
 
     "q30_media_meta" ->

@@ -51,6 +51,24 @@ object AnnSweep {
       println(f"planes=$planes%d tables=$tables%2d recall@$k=$recall%.3f " +
         f"cand_frac=$frac%.4f raw_join_rows=$b%d sec=$sec%.1f")
     }
+    // PQ-ADC recall vs compression: (m subspaces, kCodes) — bytes/vector
+    // = m codes (vs 4·dim float bytes); the recall cost of quantization
+    // on this (near-uniform — worst-case) distribution
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val pqSettings = for {
+      m <- Seq(4, 8, 16)
+      kc <- Seq(16, 64, 256)
+      if kc <= n && dim % m == 0
+    } yield (m, kc)
+    pqSettings.foreach { case (m, kc) =>
+      val t0 = System.nanoTime()
+      val pq = pairsOf(Similarity.pqTopK(queries, e, m, kc, iters = 2, k = k))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = (pq & brute).size.toDouble / brute.size
+      val compress = (4.0 * dim) / m
+      println(f"pq m=$m%2d kcodes=$kc%3d recall@$k=$recall%.3f " +
+        f"compression=${compress}%.0fx sec=$sec%.1f")
+    }
     spark.stop()
   }
 }

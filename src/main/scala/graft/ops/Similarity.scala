@@ -307,6 +307,142 @@ object Similarity {
     ivfTopKWith(queries, corpus, corpus.filter(col("vec_id") < kCells),
       nprobe, k)
 
+  // ---- Product quantization (PQ-ADC) --------------------------------
+  //
+  // The memory-bound ANN path at 100 TB (Jégou, Douze, Schmid 2011,
+  // "Product Quantization for Nearest Neighbor Search"): the embedding is
+  // split into `m` subspaces, each quantized against its own k-codeword
+  // codebook, and a corpus vector is stored as m SMALL INTS — at m=4,
+  // k=16 over 64 float dims that is a 64× compression of the column the
+  // scoring pass has to move. Queries stay exact; scoring is ADC
+  // (asymmetric distance computation): one tiny per-query lookup table
+  // (m·k partial dot products) broadcast against the narrow code table —
+  // the full embeddings never shuffle and never rejoin the hot path.
+  //
+  // DETERMINISM, same discipline as [[kmeansCodebook]]: codebooks train
+  // with integer-scaled order-independent mean updates; ADC partials are
+  // integer-scaled longs summed over m subspaces (long addition is
+  // order-independent where double addition is not), so scores — and
+  // therefore ranks — are bit-identical under any partitioning and
+  // exactly replayable by the DuckDB oracle twin (O:q53).
+
+  private val PqScale = 1048576L // 2^20, same exact-in-double scale as k-means
+
+  /** (vectors × subspaces) exploded frame: (vec_id, sub, se) where se is
+    * the d0-component double subvector. One narrow projection — the shape
+    * every PQ pass (train / encode / LUT) shares. */
+  private def pqSubbed(vectors: DataFrame, m: Int, d0: Int): DataFrame =
+    vectors.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1), lit(1))).as("sub"),
+        transform(col("embedding"), x => x.cast("double")).as("de"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("de"), col("sub") * d0 + 1, lit(d0)).as("se"))
+
+  /** Euclidean assignment of every (vector, subspace) row to its nearest
+    * codeword: argmin ||x−c||² = argmax dot(x,c) − ||c||²/2 for fixed x —
+    * a broadcast of the tiny codebook, one map-side-partial argmax
+    * aggregate, no embedding shuffle (the IVF-assign shape per subspace).
+    * Ties go to the lowest codeword id. Output: (vec_id, sub, code). */
+  private def pqAssign(subbed: DataFrame, books: DataFrame): DataFrame =
+    subbed.join(broadcast(books), "sub")
+      .withColumn("score",
+        dot(col("se"), col("ce")) - dot(col("ce"), col("ce")) / 2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max(struct(col("score"), (col("cid") * -1).as("nc"), col("cid"))).as("mx"))
+      .select(col("vec_id"), col("sub"), col("mx.cid").as("code"))
+
+  private def pqBooksDf(spark: org.apache.spark.sql.SparkSession,
+                        books: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    books.toDF("sub", "cid", "ce")
+  }
+
+  /** Lloyd's-trained PQ codebooks: for each of `m` subspaces, `kCodes`
+    * codewords refined over `iters` Euclidean k-means iterations — ALL
+    * subspaces train in the same per-iteration job (one assignment pass +
+    * one integer-scaled mean aggregate over the exploded frame, collected
+    * at m·kCodes·d0 rows — driver-literal codebooks, flat lineage like
+    * [[kmeansCodebook]]). Init: codeword j of subspace s = vector j's
+    * subvector. A codeword that loses all members keeps its previous
+    * components. Returns (sub, cid, components) rows. */
+  def pqTrain(vectors: DataFrame, m: Int, kCodes: Int,
+              iters: Int): Seq[(Int, Long, Seq[Double])] = {
+    val spark = vectors.sparkSession
+    val peek = vectors.select(size(col("embedding"))).limit(1).collect()
+    require(peek.nonEmpty, "pqTrain: empty corpus")
+    val dim = peek(0).getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val d0 = dim / m
+    val subbed = pqSubbed(vectors, m, d0)
+    var books: Seq[(Int, Long, Seq[Double])] =
+      subbed.filter(col("vec_id") < kCodes)
+        .select(col("vec_id").cast("long"), col("sub"), col("se"))
+        .collect().toSeq
+        .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
+        .sortBy(b => (b._1, b._2))
+    for (_ <- 0 until iters) {
+      val asg = pqAssign(subbed, pqBooksDf(spark, books))
+      val trained = subbed.join(asg, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(round(col("v") * PqScale).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("s").cast("double") / col("n") / PqScale).as("v"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq }
+      books = books.map { case (s, c, old) =>
+        (s, c, trained.getOrElse((s, c), old)) }
+    }
+    books
+  }
+
+  /** PQ codes for every corpus vector: (vec_id, sub, code) — the narrow
+    * persisted representation (m small ints per vector) the ADC scoring
+    * pass reads instead of the embedding column. */
+  def pqEncode(vectors: DataFrame,
+               books: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    val m = books.map(_._1).max + 1
+    val d0 = books.head._3.size
+    pqAssign(pqSubbed(vectors, m, d0), pqBooksDf(vectors.sparkSession, books))
+  }
+
+  /** PQ-ADC approximate top-k: train codebooks on `corpus`, encode it,
+    * then score every query against the CODES ONLY — per query a LUT of
+    * m·kCodes integer-scaled partial dots broadcasts against the code
+    * table; approx sim = dot(q, x̂) / (‖q‖·‖x̂‖) where x̂ is the
+    * reconstruction (so ‖x̂‖² = Σ_sub ‖c_code‖², also carried as scaled
+    * longs in the LUT). Output: (vec_id, nn_id, rank, sim) — sim rounded
+    * to 4 dp, rank ties by nn_id asc, self excluded. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, kCodes: Int,
+             iters: Int, k: Int): DataFrame = {
+    val books = pqTrain(corpus, m, kCodes, iters)
+    val d0 = books.head._3.size
+    val codes = pqEncode(corpus, books)
+    val lut = pqSubbed(queries, m, d0)
+      .join(broadcast(pqBooksDf(queries.sparkSession, books)), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"),
+        round(dot(col("se"), col("ce")) * PqScale).cast("long").as("dotm"),
+        round(dot(col("ce"), col("ce")) * PqScale).cast("long").as("n2m"))
+    val qnorms = queries.select(col("vec_id").as("qid"),
+      norm(col("embedding")).as("qn"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dotm")).as("dots"), sum(col("n2m")).as("n2s"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(qnorms), "qid")
+      .withColumn("sim",
+        (col("dots").cast("double") / PqScale) /
+          (col("qn") * sqrt(col("n2s").cast("double") / PqScale)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("vec_id").as("nn_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     * sim ≥ threshold, id_a < id_b — brute within LSH buckets, degenerate
     * buckets bounded by `bucketCap`. */

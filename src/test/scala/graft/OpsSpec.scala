@@ -289,6 +289,57 @@ class OpsSpec extends AnyFunSuite {
     assert(sec < 120.0, f"kmeans iters=8 took $sec%.1f s — lineage regrowing?")
   }
 
+  test("PQ-ADC: deterministic under repartition; exact when every vector is a codeword") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    // codebook shape + init: iters=0 is the first-k subvector init
+    val books = Similarity.pqTrain(vecs, m = 2, kCodes = 4, iters = 0)
+    assert(books.map(b => (b._1, b._2)).toSet ==
+      (for (s <- 0 until 2; c <- 0 until 4) yield (s, c.toLong)).toSet)
+    assert(books.forall(_._3.size == 4))
+    val raw = vecs.filter(col("vec_id") < 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    books.foreach { case (s, c, emb) =>
+      assert(emb == raw(c).slice(s * 4, s * 4 + 4)) }
+    // integer-scaled training is order-independent: bit-identical books
+    // and bit-identical top-k under an adversarial repartition
+    val t1 = Similarity.pqTrain(vecs, m = 2, kCodes = 4, iters = 2)
+    val t2 = Similarity.pqTrain(
+      vecs.repartition(7, col("vec_id")), m = 2, kCodes = 4, iters = 2)
+    assert(t1 == t2)
+    assert(t1 != books) // training moved at least one codeword
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val pq1 = Similarity.pqTopK(vecs, vecs, m = 2, kCodes = 4, iters = 2, k = 3)
+      .collect().map(key).toSet
+    val pq2 = Similarity.pqTopK(vecs.repartition(5, col("vec_id")),
+        vecs.repartition(7, col("vec_id")), m = 2, kCodes = 4, iters = 2, k = 3)
+      .collect().map(key).toSet
+    assert(pq1 == pq2)
+    assert(pq1.size == 60 * 3)
+    // every (vector, subspace) gets exactly one in-range code
+    val codes = Similarity.pqEncode(vecs, t1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(codes.size == 60 * 2)
+    assert(codes.values.forall(c => c >= 0 && c < 4))
+    // with kCodes = n and iters = 0 every vector IS its own codeword per
+    // subspace (distinct subvectors, ties impossible): reconstruction is
+    // exact, so ADC sims equal brute-force sims up to the 2^-20 partial
+    // rounding — per-rank sims must agree within 1e-4
+    val all = Similarity.pqTrain(vecs, m = 2, kCodes = 60, iters = 0)
+    val ident = Similarity.pqEncode(vecs, all).collect()
+      .forall(r => r.getLong(0) == r.getLong(2))
+    assert(ident)
+    val pqSims = Similarity.pqTopK(vecs, vecs, m = 2, kCodes = 60, iters = 0, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val bruteSims = Similarity.bruteTopK(vecs, vecs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(pqSims.keySet == bruteSims.keySet)
+    pqSims.foreach { case (k0, s) =>
+      assert(math.abs(s - bruteSims(k0)) <= 1e-4, s"$k0: $s vs ${bruteSims(k0)}") }
+  }
+
   test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
     val f0 = TextOps.rollingFingerprint(texts(0)._2, 8)
     assert(f0 >= 0 && f0 < (1L << 31) - 1)
