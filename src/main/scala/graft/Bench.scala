@@ -3,52 +3,79 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Benchmark main. Measures, in this order (quietest window first):
+/** Benchmark main — a BUDGET-AWARE, INCREMENTAL-ARTIFACT orchestrator.
   *
-  *  1. The LONG-SUPERSTEP loop point (the north-rule criterion's evidence):
-  *     the full durable BSP crawl at two parallelism levels standing in for
-  *     N vs 4N executors (no real cluster in this sandbox), run as
-  *     INTERLEAVED (N, 4N) child-JVM pairs so slow box-load drift cancels
-  *     within each pair; 3 pairs = 3 reps at both levels. Headline loop
-  *     efficiency = MEDIAN OF THE PER-PAIR WHOLE-RUN RATIOS (each pair is
-  *     one same-window A/B of identical deterministic work; the median
-  *     over 3 pairs rejects one outlier pair in either direction); the
-  *     per-superstep-minima floor and the per-superstep paired median are
-  *     emitted alongside as cross-checks.
+  * The driver records only the last ~2 KB of this process's merged output
+  * and needs ONE parseable compact JSON line in it. Rounds 1–3 lost the
+  * line to length (the full-name query map outgrew the tail); round 4's
+  * compact line never printed because the grown bench (~60 min) outlived
+  * the driver's wall-clock window (rc 124). Defenses, in order:
   *
-  *  2. Per-query timings of every SparkEntry query on `SPARK_GRAFT_SF_DIR`
-  *     in a dedicated full-width child JVM, min of 2 reps per query, forced
-  *     through a full materialization (`noop` sink — `count()` would let
-  *     Catalyst prune the measured work); plus ANN recall@3.
+  *  1. CRITERION PHASES FIRST: the long-superstep loop ABBA pairs (the
+  *     north rule's two-level scaling evidence), then the kernel pairs
+  *     (the BASELINE.json metric), then the query child. Supplementary
+  *     phases (sweep, cluster, escalation beyond the base pairs) come
+  *     last and are the first to be dropped.
+  *  2. The CUMULATIVE compact line re-renders and prints after EVERY
+  *     completed phase unit — a mid-run kill leaves the newest complete
+  *     line in the tail, carrying everything measured so far.
+  *  3. A shutdown hook registered with Hadoop's ShutdownHookManager at
+  *     priority 1 — i.e. AFTER Spark's own hooks (priority 40), so ours
+  *     is the tail's LAST writer — kills live children and re-prints the
+  *     latest line: a SIGTERM leaves a number, not a stack trace.
+  *  4. Every phase is gated on wall-clock remaining within
+  *     SPARK_GRAFT_BENCH_BUDGET_SEC (default 1200 s — the r3-proven
+  *     size; the driver's exact limit is unknown, r4's ~60 min exceeded
+  *     it). Gates use MEASURED unit costs (rolling max over observed
+  *     walls, seeded from priors) and reserve time for the not-yet-run
+  *     criterion phases, so a slow box trims late loop/kernel pairs
+  *     rather than losing the kernel headline or the query map.
+  *  5. Child stdout+stderr go to a per-child file replayed CAPPED onto
+  *     our stderr, so inter-emit log noise cannot flush the line out of
+  *     a merged-output tail.
   *
-  *  3. The frontier KERNEL (BASELINE.json `metric`: URLs scheduled+deduped
-  *     per second, no checkpoint IO) with the no-Spark string/CPU scaling
-  *     controls — ABBA (N, 4N) child-JVM pairs with the same
-  *     median-of-pair-ratios headline as the loop criterion — then the
-  *     small-corpus loop sweep as one back-to-back child pair.
-  *
-  * Prints ONE JSON line; the per-query map leads and the scaling criteria
-  * land at the END of the line (the driver keeps a bounded stdout TAIL).
+  * Phase semantics, estimators (pair-median headline, control-bracket
+  * window gate, floor/step-median cross-checks), codec split, and the
+  * recorded run history all live in BENCH.md §0–§3; child measurement
+  * code below is unchanged from round 4 — same child protocols, same
+  * headline math, identical final-line schema.
   */
 object Bench {
+
+  import BenchReport._
+
+  // ---- wall-clock budget ------------------------------------------------
+  private val benchT0 = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+  private lazy val budgetSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
+  private def remainingSec: Double = budgetSec - elapsedSec
+
+  /** Measured-cost tracker for one phase-unit type: starts at a prior,
+    * then tracks the MAX observed unit wall (gating must be pessimistic —
+    * a loaded box only gets slower within a run). */
+  private final class Cost(prior: Double) {
+    @volatile private var est = prior
+    def sec: Double = est
+    def timed[T](f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      est = math.max(est, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+  }
 
   private val warehouseDir: String =
     (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else
       System.getProperty("java.io.tmpdir")) + "/graft-bench-warehouse"
 
   private def session(cpus: Int): SparkSession = {
-    // Literal multi-executor mode (north rule: "spark-submit ... at N and 4N
-    // executors"): the orchestrator launches a child via spark-submit with
-    // SPARK_GRAFT_MASTER_OVERRIDE=local-cluster[nExec,cores,memMb] and this
-    // session becomes a real standalone mini-cluster — every executor its
-    // own JVM, exchanges over netty shuffle, broadcasts over RPC. The
-    // executors get the graft classes from the submitted app jar
-    // (spark.jars); spark-submit is REQUIRED, not a convenience — a
-    // plain-java driver's task closures fail executor-side lambda
-    // deserialization (SerializedLambda -> BoundReference.accessor
-    // ClassCastException) because the driver-side classloader arrangement
-    // differs from what CoarseGrainedExecutorBackend reconstructs. Each
-    // executor's GC is sized to its core slice, not the host's 32.
+    // Literal multi-executor mode (north rule: "spark-submit ... at N and
+    // 4N executors"): with SPARK_GRAFT_MASTER_OVERRIDE=local-cluster[...]
+    // (set by the orchestrator, entered via spark-submit — REQUIRED: a
+    // plain-java driver fails executor-side lambda deserialization) this
+    // session becomes a real standalone mini-cluster: every executor its
+    // own JVM, netty shuffle, RPC broadcast, GC sized to its core slice.
     val masterOverride = sys.env.get("SPARK_GRAFT_MASTER_OVERRIDE")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_TOTAL_CORES", cpus.toString)
     val b0 = SparkSession.builder()
@@ -61,15 +88,12 @@ object Bench {
         val execCores = cm.map(_.group(1)).getOrElse("2")
         val execMemMb = cm.map(_.group(2)).getOrElse("8192")
         // executor -Xmx comes from spark.executor.memory, NOT the master
-        // string (that only sizes the worker's capacity) — without this the
-        // executors run at the 1g default inside an 8g slot
+        // string (that only sizes the worker's capacity)
         b0.config("spark.executor.memory", s"${execMemMb}m")
           .config("spark.executor.extraJavaOptions",
             s"-XX:ActiveProcessorCount=$execCores")
-          // single-core executor slices: a reduce task waiting the default
-          // 3 s for its PROCESS_LOCAL executor (one busy core) idles the
-          // whole slot — on one host every executor is equally NODE_LOCAL,
-          // so don't wait (A/B'd; knob keeps it reproducible)
+          // single-core slices on one host: everything is NODE_LOCAL, so a
+          // 3 s PROCESS_LOCAL wait only idles the slot (A/B'd)
           .config("spark.locality.wait",
             sys.env.getOrElse("SPARK_GRAFT_LOCALITY_WAIT", "0s"))
       case None => b0
@@ -77,48 +101,26 @@ object Bench {
     val s = b1
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // shuffle/spill on tmpfs: disk IO jitter would otherwise dominate the
-      // scaling measurement on this shared box
+      // shuffle/spill on tmpfs: disk IO jitter would otherwise dominate
+      // the scaling measurement on this shared box
       .config("spark.local.dir",
         if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
         else System.getProperty("java.io.tmpdir"))
       .config("spark.sql.warehouse.dir", warehouseDir)
-      // v2 commit: task outputs move straight to the destination dir
-      // (v1 does a second driver-serial rename pass per job). Crash
-      // atomicity is unaffected — a snapshot dir only becomes live when
-      // the manifest pointer renames over MANIFEST.json.
+      // v2 commit: no driver-serial rename pass; snapshot atomicity rests
+      // on the manifest pointer rename, not the committer
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      // AQE SMJ->shuffled-hash conversion for the merge's full-outer join
-      // was tried (512m threshold: removes the two per-superstep url-string
-      // sorts) and measured WITHIN THE NOISE BAND at both levels (A/B at
-      // 400 K-doc supersteps: merge 8-12 s @N either way, ~4 s @4N either
-      // way) — the merge phase is dominated by the links hash-aggregate and
-      // the filter-blob aggregation, not the join sort. Default stays off;
-      // the knob remains for re-testing on quieter hardware.
+      // measured-neutral/-worse knobs kept for re-testing (BENCH.md §0)
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "0b"))
-      // Concurrent dynamic-partition writers were tried (70 > nBuckets) and
-      // measured WORSE than the default sort-then-write: the sort they
-      // replace is a cheap int-key radix sort, while 32 interleaved parquet
-      // writers per task thrash page buffers (snapshot 2.5 s -> 3.5 s @N).
       .config("spark.sql.maxConcurrentOutputFileWriters",
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
       // keep the politeness top-k hash-based with many hosts per task
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
-      // Codec split (measured, BENCH.md §0): PARQUET (durable snapshot
-      // writes) = zstd — on tmpfs every written byte IS memory-bus
-      // traffic, the shared resource the durable loop phases (~0.7 N->4N
-      // with snappy) contend on, and zstd trades those bytes for
-      // compressor CPU that scales with cores (loop pair ratios
-      // 0.84-1.0 vs 0.65-0.73). SHUFFLE stays lz4 (the Spark default) —
-      // an all-zstd config dragged the shuffle-only kernel's 4N level
-      // from 5.7 to 6.1-7.7 s and its pair ratios from 0.94-1.01 to
-      // 0.70-0.90 in same-window A/Bs: the kernel's exchanges are
-      // CPU-bound at 4N, so extra compressor cycles sit on its critical
-      // path, while its N level (2 cores, bus never binding either way)
-      // doesn't move. Same tradeoff a 100 TB deployment makes: heavy
-      // codec where IO bandwidth binds (durable storage), light codec
-      // where cores bind. Env knobs keep the A/Bs reproducible.
+      // Codec split (measured, BENCH.md §0): parquet=zstd (durable writes
+      // are bus traffic on tmpfs — trade bytes for compressor CPU that
+      // scales with cores), shuffle=lz4 (zstd cycles sit on the CPU-bound
+      // kernel's 4N critical path)
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
@@ -133,23 +135,14 @@ object Bench {
     s
   }
 
-  /** The long-point corpus as a BUCKETED table on doc_id — the 100 TB-correct
-    * shape: the fetch join co-partitions against the table's buckets, so the
-    * politeness window shuffles O(batch) while the corpus NEVER moves (the
-    * unbucketed form re-shuffled the whole corpus every superstep). The
-    * in-memory catalog forgets metadata across sessions, so each level
-    * re-declares the same bucketed layout over the same files via DDL. */
+  /** The long-point corpus as a BUCKETED table on doc_id — the 100 TB-
+    * correct shape: the fetch join co-partitions against the buckets, so
+    * the corpus NEVER shuffles. The in-memory catalog forgets metadata
+    * across sessions, so each level re-declares the layout via DDL. */
   private val CorpusTable = "graft_bench_corpus"
-  // The cluster phase's own (smaller) long-point table: at 2 single-core
-  // executor JVMs the 3.6M thread-level point would run ~10 min/rep, so
-  // the literal-executor phase crawls a cluster-sized point generated by
-  // the same generator/seed/bucketing (SPARK_GRAFT_CLUSTER_LOOP_LONG).
   private val ClusterCorpusTable = "graft_bench_corpus_cluster"
   private val CorpusBuckets = 64
 
-  /** The in-memory catalog forgets tables across JVMs but the warehouse
-    * files persist — a stale location from a crashed run would fail
-    * saveAsTable with LOCATION_ALREADY_EXISTS. */
   private def dropCorpusLocation(table: String = CorpusTable): Unit = {
     import java.util.Comparator
     val root = java.nio.file.Paths.get(s"$warehouseDir/$table")
@@ -173,8 +166,7 @@ object Bench {
   }
 
   /** Generate a bucketed corpus table ONCE with a full-box session (both
-    * scaling levels then crawl the identical stored files; the fetch join
-    * co-partitions against the buckets so the corpus never shuffles). */
+    * scaling levels then crawl the identical stored files). */
   private def writeCorpusTable(table: String, nDocs: Int): Unit = {
     val sg = session(32)
     dropCorpusLocation(table)
@@ -186,18 +178,15 @@ object Bench {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
   }
 
+  // ---- measurements (child-side) ----------------------------------------
   /** Frontier-throughput KERNEL: one pop + link-dedup + insert-or-increment
-    * merge over a pre-materialized frontier of F entries (hot-host skew
-    * baked in) and a stream of L candidate links — the dataflow the
-    * BASELINE metric names ("URLs scheduled + deduped / sec"), with no
-    * checkpoint IO, so it isolates the partition-parallel work whose
-    * scaling the north rule's two-cluster-size criterion is about.
+    * merge over a pre-materialized frontier (hot-host skew baked in) — the
+    * dataflow the BASELINE metric names, no checkpoint IO.
     * Returns (urls processed = links deduped + urls popped, seconds). */
   private def timedKernel(spark: SparkSession, f: Long, l: Long,
                           reps: Int): (Long, Double) = {
     // perHostCap stays realistic (politeness!): with 16 salts the hot host
-    // contributes ≤ 16*cap rows to the phase-2 window — a huge cap would
-    // funnel the hot host's millions of rows into one sort task.
+    // contributes ≤ 16*cap rows to the phase-2 window
     val cfg = CrawlConfig(batchSize = (f / 10).toInt, perHostCap = 1000,
       nBuckets = 64, saltBuckets = 16)
     val id = col("id")
@@ -226,12 +215,7 @@ object Bench {
       val merged = Frontier.merge(frontier, links, pop.select("url", "host"), cfg)
       forceEval(merged.select("url", "host", "bucket", "priority", "popped"))
     }
-    // warm-up (driver-side codegen compile + AQE planning happen once per
-    // plan, identically at every parallelism level), then best-of-reps: this
-    // sandbox has noisy-neighbor CPU interference, and the minimum is the
-    // standard robust estimator of the uncontended steady state. Callers use
-    // fewer reps at low parallelism (a 1-2 thread run barely contends on a
-    // 32-core box, so it is stable) and more at high parallelism.
+    // warm once (codegen/AQE planning), then best-of-reps (robust floor)
     runOnce()
     val sec = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
@@ -242,19 +226,16 @@ object Bench {
     (l + cfg.batchSize, sec)
   }
 
-  /** Pure string/parse scaling control — NO Spark: the crawl loop's
-    * per-doc work (regex link extraction + URI admission over ~2 KB htmls)
-    * on a plain fixed-size thread pool. Its p_low→p_high efficiency is the
-    * MACHINE's ceiling for the string-pipeline workload class (allocation +
-    * memory-streaming regex), measured independently of shuffles, parquet
-    * and the scheduler — the denominator that decides whether loop
-    * inefficiency is the engine's or the box's. */
-  /** Control fixture cache: the per-pair window probes (see runLoopPair)
-    * call timedParseControl many times per run; document generation is
-    * setup, not measurement, so build each size once per JVM. */
+  /** Control fixture cache: window probes run many times per JVM; document
+    * generation is setup, not measurement. */
   private val ctlDocsCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[(String, String)]]()
 
+  /** Pure string/parse scaling control — NO Spark: the loop's per-doc work
+    * (regex link extraction + URI admission) on a plain thread pool. Its
+    * N→4N efficiency is the MACHINE's same-window ceiling for the
+    * string-pipeline workload class — the denominator that decides whether
+    * loop inefficiency is the engine's or the box's (BENCH.md §2.1). */
   private def timedParseControl(nDocs: Int, threads: Int, reps: Int): Double = {
     val docs = ctlDocsCache.computeIfAbsent(nDocs, n =>
       (0L until n.toLong).toArray.map { i =>
@@ -283,11 +264,9 @@ object Bench {
     }.min
   }
 
-  /** Pure-CPU scaling control: a chained-hash aggregate with no shuffle, no
-    * IO, no driver work — as embarrassingly parallel as this machine allows.
-    * Its p_low→p_high efficiency is the MACHINE's thread-scaling ceiling
-    * (turbo clocks at low thread counts + SMT push it well under 1.0 on
-    * shared boxes), the honest denominator for judging the loop's number. */
+  /** Pure-CPU scaling control: a chained-hash aggregate, no shuffle/IO —
+    * the machine's thread-scaling ceiling (turbo + SMT push it under 1.0
+    * on shared boxes). */
   private def timedCpuControl(spark: SparkSession, n: Long, reps: Int): Double = {
     var c: org.apache.spark.sql.Column = col("id")
     (0 until 16).foreach(i => c = xxhash64(c, lit(i)))
@@ -305,33 +284,24 @@ object Bench {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
   /** One timed crawl: nDocs-doc synthetic web, broad seed set, fixed
-    * superstep budget. Returns (urls scheduled+deduped, seconds).
-    * State goes to tmpfs like the shuffle dirs: the measurement isolates
-    * the engine's scaling, not this box's disk.
-    *
-    * `corpusOnDisk`: for multi-million-doc corpora the docs table lives as
-    * tmpfs parquet and each superstep SCANS it (the realistic shape — the
-    * corpus is a stored table at any real operating point, and the scan is
-    * partition-parallel work that belongs in the measurement); small sweep
-    * corpora stay memory-cached as before. */
+    * superstep budget; state on tmpfs (the measurement isolates the
+    * engine's scaling, not this box's disk). Multi-million-doc corpora
+    * come from a stored bucketed table (`corpusTable`) and each superstep
+    * SCANS it — the realistic shape; small sweep corpora stay cached.
+    * Returns per-superstep (urls scheduled+deduped, seconds). */
   private def timedCrawl(spark: SparkSession, nDocs: Int, nSeeds: Int,
                          batches: Int, batchSize: Int,
                          corpusTable: Option[String] = None): (Seq[Long], Seq[Double]) = {
     import spark.implicits._
-    val stateRoot = tmpRoot
     val stateDir = java.nio.file.Files
-      .createTempDirectory(stateRoot, "graft-bench-crawl").toString
-    // perHostCap = batchSize: politeness off — the synthetic corpus has ~8
-    // hosts standing in for a real crawl's millions (where cap=8 fills the
-    // batch anyway). hostTopKSpillBound is raised to match: this fixture's
-    // per-mapper candidate slices demonstrably fit on heap (the operating
-    // point every bench round has measured), so the heap pop — the
-    // politeness-sized production path — is the representative physical
-    // form here; the library DEFAULT bound stays conservative and routes
-    // unknown degenerate caps to the spill-safe window (Frontier.popBatch).
+      .createTempDirectory(tmpRoot, "graft-bench-crawl").toString
+    // perHostCap = batchSize: politeness off — ~8 synthetic hosts stand in
+    // for a real crawl's millions. hostTopKSpillBound raised to match: the
+    // heap pop (the politeness-sized production path) is the representative
+    // physical form at this fixture's measured slice sizes; the library
+    // default stays conservative (Frontier.popBatch).
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = batchSize,
       hostTopKSpillBound = Int.MaxValue,
-      // A/B knob for the popped-partition snapshot layout (BENCH.md §0)
       splitSnapshotsByPopped = sys.env.contains("SPARK_GRAFT_POPPED_SPLIT"),
       maxBatches = batches, nBuckets = 64, saltBuckets = 16, minTokens = 50)
     // corpus materialized BEFORE the clock starts: the metric is frontier
@@ -345,43 +315,25 @@ object Bench {
     val robots = Corpus.robots(spark).toDF()
     val seeds = spark.range(nSeeds)
       .map(i => Seed(Corpus.urlFor(i, nDocs), 1L)).toDF()
-    def gcMs: Long = {
-      import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-        .asScala.map(_.getCollectionTime).sum
-    }
-    val gc0 = gcMs
-    val t0 = System.nanoTime()
     val res = CrawlLoop.run(spark, docs, robots, seeds, cfg, stateDir,
       seed = 42L, nDocs = nDocs)
-    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING"))
-      System.err.println(f"[crawl] wall ${(System.nanoTime() - t0) / 1e9}%.1f s  gc ${(gcMs - gc0) / 1e3}%.1f s")
     if (corpusTable.isEmpty) docs.unpersist()
-    // steady-state crawl time: per-superstep elapsed (pop→fetch→parse→merge→
-    // filters→checkpoint commit), excluding session/corpus setup
+    // steady-state crawl time: per-superstep elapsed (pop→fetch→parse→
+    // merge→filters→commit), excluding session/corpus setup
     val perBatchSec = res.batches.map(_.elapsedMs / 1e3)
     val perBatchUrls = res.batches.map(b => b.popped + b.linksExtracted)
-    // tmpfs hygiene: the sweep runs several crawls — dead state dirs would
-    // otherwise sit in RAM-backed storage for the box's lifetime
+    // tmpfs hygiene: dead state dirs would sit in RAM for the box's lifetime
     import java.util.Comparator
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(stateDir))
     try walk.sorted(Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally walk.close() // the stream holds a directory fd until closed
+    finally walk.close()
     (perBatchUrls, perBatchSec)
   }
 
   private def forceEval(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.isEmpty) 0.0
-    else if (s.size % 2 == 1) s(s.size / 2)
-    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-  }
-
-  /** Env-derived settings shared by the orchestrator and level children. */
   private def pLowEnv: Int = sys.env.getOrElse("SPARK_GRAFT_P_LOW", "2").toInt
   private def benchModeEnv: String =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full")
@@ -389,12 +341,9 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_LOOP_SWEEP", "6,2")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).filter(_ > 0).toSeq
   private def longPointEnv: Option[(Int, Int)] = {
-    // 3 supersteps of 1.2M (2 steady after the bootstrap drop). A
-    // 2400000x2 shape (1 steady step, 5 pairs in the same wall budget)
-    // was measured and rejected: its single steady superstep produced no
-    // cleaner a median in a loaded window (0.716 vs the 3-step shape's
-    // 0.82-0.97 adjacent runs), and it broke comparability with every
-    // recorded r3/r4 run (BENCH.md §2.1).
+    // 3 supersteps of 1.2M (2 steady after the bootstrap drop) — the shape
+    // every r3/r4 recorded run used; a 1-steady-step shape was measured
+    // and rejected (BENCH.md §2.1)
     val longSpec = sys.env.getOrElse("SPARK_GRAFT_LOOP_LONG", "3600000x3")
     longSpec.split("x") match {
       case Array(d, b) if longSpec.nonEmpty => Some((d.trim.toInt, b.trim.toInt))
@@ -402,45 +351,12 @@ object Bench {
     }
   }
 
-  /** One scaling level's measurements: string-control seconds, kernel
-    * (urls, sec), cpu-control seconds, loop rows (batches, nDocs, urls, sec). */
-  private final case class LevelResult(str: Double, ku: Long, kt: Double,
-      cpu: Double, loops: Seq[(Int, Int, Long, Double)])
-
-  /** One long-point rep at one level: per-superstep (urls, seconds),
-    * superstep 0 (bootstrap) included — the parent drops it. */
-  private final case class LongRep(urls: Seq[Long], secs: Seq[Double])
-
-  /** One interleaved (N, 4N) long-point pair plus its WINDOW SCORES: the
-    * no-Spark string-control scaling efficiency measured immediately
-    * before and after the pair (the pair's brackets) — `ctl` the lower,
-    * `ctlHi` the higher of the two. A bracket ~0.92+ says the box's own
-    * thread scaling was clean while the pair ran; ~0.75 says an external
-    * tenant was squeezing pure-CPU work (no measurement taken in that
-    * window can read above the machine's same-window ceiling); a bracket
-    * ABOVE ~1.05 is the mirror-image signal — thread scaling cannot be
-    * superlinear, so a control reading over 1.0 means the load squeezed
-    * the probe's own N level, the direction that INFLATES ratios. */
-  private final case class LoopPair(lo: LongRep, hi: LongRep,
-      ctl: Double, ctlHi: Double)
-
-  /** Child-JVM entry: run ONE phase's measurements at ONE parallelism level
-    * and write the results to `outPath`. The parent launches this in a JVM
-    * capped with -XX:ActiveProcessorCount=p, so GC/JIT/common-pool threads
-    * match the simulated node size — in a shared JVM the "2-core" level
-    * borrows the full box's GC threads, overstating N-level throughput and
-    * understating N->4N scaling efficiency (the cluster being simulated
-    * scales its GC capacity with executor count).
-    *
-    * Phases: "kernel" = string control + kernel + cpu control; "sweep" =
-    * the small-corpus loop sweep; "looplong" = ONE timed rep of the
-    * long-superstep point (after an untimed priming mini-crawl) with
-    * per-superstep timings; "queries" = per-query timings (min of 2 reps)
-    * + ANN recall at full width. Kernel and sweep are SEPARATE children so
-    * the orchestrator can run each measurement's two levels back-to-back
-    * (the combined main child took ~5 min per level, and box-load drift
-    * across that gap biased the kernel headline the same way it biased the
-    * r3 loop ratio — pairing is the same fix). */
+  // ---- child-JVM phase entries ------------------------------------------
+  /** Child-JVM entry: ONE phase's measurements at ONE parallelism level,
+    * results to `outPath`. The parent caps the child with
+    * -XX:ActiveProcessorCount=p so GC/JIT/common-pool threads match the
+    * simulated node size (a shared JVM's "2-core" level borrows the full
+    * box's GC threads and overstates N-level throughput). */
   private def runLevel(p: Int, outPath: String, phase: String): Unit = {
     val w = new java.io.PrintWriter(outPath)
     try phase match {
@@ -452,9 +368,8 @@ object Bench {
     } finally w.close()
   }
 
-  /** Kernel only (no in-process controls — in cluster mode the child JVM is
-    * the DRIVER, so a thread-pool control in it would not probe the
-    * executors' scaling; the orchestrator's bracket probes cover the box). */
+  /** Kernel only — cluster mode (the child JVM is the DRIVER; in-process
+    * thread controls would not probe the executors' scaling). */
   private def runKernelCluster(p: Int, w: java.io.PrintWriter): Unit = {
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
     val s = session(p)
@@ -467,14 +382,12 @@ object Bench {
   private def runKernelPhase(p: Int, w: java.io.PrintWriter): Unit = {
     val pLow = pLowEnv
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
-    val kl = kf * 2
     val cpuNCtl = sys.env.getOrElse("SPARK_GRAFT_CPU_CONTROL_N", "40000000").toLong
-    // Internal reps are the WITHIN-window burst filter; the cross-window
-    // drift filter is the orchestrator's median over ABBA pairs, so each
-    // child stays lean (3 pairs of lean children beat 1 pair of fat ones).
+    // internal reps filter within-window bursts; cross-window drift is the
+    // orchestrator's ABBA pairing + median
     val str = timedParseControl(150000, p, reps = 2)
     val s = session(p)
-    val (ku, kt) = timedKernel(s, kf, kl, reps = if (p == pLow) 2 else 3)
+    val (ku, kt) = timedKernel(s, kf, kf * 2, reps = if (p == pLow) 2 else 3)
     val cpu = timedCpuControl(s, cpuNCtl, reps = 2)
     s.stop()
     w.println(f"str=$str%.6f")
@@ -494,23 +407,19 @@ object Bench {
     s.stop()
   }
 
-  /** One long-point rep: priming mini-crawl (untimed — flushes per-JVM
-    * codegen/JIT/parquet-reader warm-up exactly like timedKernel's warm-up
-    * rep; the metric is steady-state frontier throughput, the reference
-    * monitor's urls/s is steady-state too, src/monitor.rs:141-156), then
+  /** One long-point rep: priming mini-crawl (untimed — per-JVM codegen/
+    * JIT/parquet-reader warm-up; the metric is steady-state throughput,
+    * like the reference monitor's urls/s, src/monitor.rs:141-156), then
     * ONE timed crawl of the shared bucketed corpus with per-superstep
-    * timings. Seeds = one full batch so superstep 0 already pops at full
-    * width; the parent drops superstep 0 (bootstrap: fromSeeds seed pop +
-    * full filter bootstrap, structurally unlike the steady state). */
+    * timings. Seeds = one full batch so superstep 0 pops at full width;
+    * the parent drops superstep 0 (bootstrap, structurally unlike the
+    * steady state). */
   private def runLooplong(p: Int, w: java.io.PrintWriter): Unit = {
     val (d, b) = longPointEnv.getOrElse(sys.error("looplong: no long point"))
     val table = sys.env.getOrElse("SPARK_GRAFT_CORPUS_TABLE", CorpusTable)
     val s = session(p)
     declareCorpusTable(s, table)
-    // priming, untimed — a small one-superstep crawl exercises every plan
-    // the timed crawl uses (codegen/JIT/parquet-reader warm-up); size only
-    // buys wall time, not extra warm-up, so it stays small
-    val _ = timedCrawl(s, 36000, 3000, 1, 36000)
+    val _ = timedCrawl(s, 36000, 3000, 1, 36000) // priming, untimed
     val (urls, secs) = timedCrawl(s, d, d / b, b, d / b,
       corpusTable = Some(table))
     s.stop()
@@ -518,12 +427,10 @@ object Bench {
       .map { case (u, t) => f"$u:$t%.6f" }.mkString(","))
   }
 
-  /** Per-query timings in a dedicated full-width JVM (judge r3 item 2: the
-    * r3 query map ran in the parent after ~20 min of loop phases and
-    * recorded ~3.4x uniform contention inflation). Each query runs twice
-    * and reports the MINIMUM — the same robust floor estimator the kernel
-    * and loop phases use; warm-up (codegen, relation caches) lands in rep 1
-    * so rep 2 is usually the floor. ANN recall rides the same JVM. */
+  /** Per-query timings in a dedicated full-width JVM, min of 2 reps per
+    * query forced through full materialization (noop sink), + ANN recall.
+    * Dedicated child = no contention inflation from earlier phases
+    * (BENCH.md §3). */
   private def runQueries(w: java.io.PrintWriter): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val s32 = session(32)
@@ -549,24 +456,27 @@ object Bench {
       // q28's sweep-chosen setting (SURVEY §8.3): 8 tables x 5 planes
       val lsh = pairs(Similarity.lshTopK(e, planes = 5, k = 3, tables = 8))
       val ivf = pairs(Similarity.ivfTopK(queriesDf, e, kCells = 16, nprobe = 4, k = 3))
-      // q53's sweep-chosen setting: 16 subspaces x 64 codewords, 2 Lloyd
-      // iterations — recall at a 16x compression of the scored corpus
-      val pq = pairs(Similarity.pqTopK(queriesDf, e, m = 16, kCodes = 64,
-        iters = 2, k = 3))
+      // PQ recall in its OWN guard: a PQ-only regression must not erase
+      // the lsh/ivf numbers from the artifact (-1.0 marks "pq failed")
+      val pqR = try {
+        val pq = pairs(Similarity.pqTopK(queriesDf, e, m = 16, kCodes = 64,
+          iters = 2, k = 3))
+        (pq & brute).size.toDouble / brute.size
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] pq_recall: ${ex.getMessage}"); -1.0
+      }
       w.println(f"ann=${(lsh & brute).size.toDouble / brute.size}%.6f," +
-        f"${(ivf & brute).size.toDouble / brute.size}%.6f," +
-        f"${(pq & brute).size.toDouble / brute.size}%.6f")
+        f"${(ivf & brute).size.toDouble / brute.size}%.6f,$pqR%.6f")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann_recall: ${e.getMessage}")
     }
     s32.stop()
   }
 
-  /** App jar for spark-submit children (cluster phases): the orchestrator
-    * usually runs from sbt's exploded classes dir, which spark-submit can't
-    * take as a primary resource, so the classes are jarred once per run
-    * into the tmpfs scratch. The jar is what standalone executors fetch —
-    * the same class-distribution path a real cluster uses. */
+  // ---- child spawning ----------------------------------------------------
+  /** App jar for spark-submit children: standalone executors fetch classes
+    * from the submitted jar — the same distribution path a real cluster
+    * uses; sbt's exploded classes dir is jarred once per run. */
   private lazy val appJar: String = {
     val root = java.nio.file.Paths.get(
       Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
@@ -587,13 +497,16 @@ object Bench {
     }
   }
 
+  /** Live children, killed by the shutdown hook so a parent SIGTERM doesn't
+    * leave orphans streaming log noise into the driver's tail. */
+  private val liveChildren =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Process]()
+
   /** Launch one (level, phase) child in its own capped JVM and return its
-    * result lines. Thread-level children inherit this JVM's flags/classpath;
-    * cluster-mode children (extraEnv carries the master override) go through
-    * spark-submit instead — the blessed entry that makes closure
-    * serialization work across the driver/executor JVM boundary (see
-    * session()). Child stdout goes to a file replayed onto stderr (the
-    * bench contract is ONE stdout JSON line, from the parent only). */
+    * result lines. Cluster children (extraEnv carries the master override)
+    * go through spark-submit. Child stdout+stderr go to a file replayed
+    * CAPPED onto our stderr — the parent's stdout carries ONLY compact
+    * artifact lines, and inter-line stderr noise stays bounded. */
   private def spawnChild(p: Int, phase: String,
                          extraEnv: Map[String, String] = Map.empty): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -608,9 +521,8 @@ object Bench {
         val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
         val driverMem = inherited.find(_.startsWith("-Xmx"))
           .map(_.drop(4)).getOrElse("16g")
-        // spark-class injects the JDK17 module options; we add only the
-        // processor cap (fixed at both levels — executor count is the sole
-        // scaled resource) and the session props the sbt parent carries
+        // spark-class injects the JDK17 module options; add only the fixed
+        // processor cap (executor count is the sole scaled resource)
         val driverOpts = (inherited.filter(_.startsWith("-XX:+Use")) ++ Seq(
           s"-XX:ActiveProcessorCount=$p",
           "-Dspark.ui.enabled=false",
@@ -629,11 +541,19 @@ object Bench {
     }
     val pb = new ProcessBuilder(cmd.asJava)
     extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+    pb.redirectErrorStream(true)
     pb.redirectOutput(childLog.toFile)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val rc = pb.start().waitFor()
+    val proc = pb.start()
+    liveChildren.add(proc)
+    val rc = try proc.waitFor() finally liveChildren.remove(proc)
     val logged = new String(java.nio.file.Files.readAllBytes(childLog), "UTF-8")
-    if (logged.nonEmpty) System.err.print(logged)
+    if (logged.nonEmpty) {
+      val cap = 4000
+      System.err.print(
+        if (logged.length <= cap) logged
+        else s"...[child log ${logged.length - cap} B trimmed]...\n" +
+          logged.takeRight(cap))
+    }
     java.nio.file.Files.deleteIfExists(childLog)
     require(rc == 0, s"bench $phase-$p child JVM exited $rc")
     val lines = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
@@ -642,7 +562,7 @@ object Bench {
     lines
   }
 
-  private def spawnKernel(p: Int): (Double, Long, Double, Double) = {
+  private def spawnKernel(p: Int): KRes = {
     val lines = spawnChild(p, "kernel")
     def v(k: String): String =
       lines.find(_.startsWith(k + "=")).getOrElse(sys.error(s"kernel-$p: no $k"))
@@ -667,13 +587,6 @@ object Bench {
     LongRep(steps.map(_._1), steps.map(_._2))
   }
 
-  /** Env for a LITERAL multi-executor child: its session becomes a
-    * standalone mini-cluster (local-cluster master) of nExec executor JVMs,
-    * each with a fixed core/memory slice — the north rule's "N and 4N
-    * executors" as actual executor processes rather than thread counts.
-    * The driver child JVM itself gets a FIXED processor cap at both levels
-    * (set by the caller), so the only thing that scales between levels is
-    * the executor count. */
   private def clusterExecCores: Int =
     sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_CORES", "1").toInt
   private def clusterEnv(nExec: Int): Map[String, String] = {
@@ -703,39 +616,24 @@ object Bench {
     (qs, ann)
   }
 
+  // ---- orchestration -----------------------------------------------------
   def main(args: Array[String]): Unit = args match {
     case Array("level", p, out)        => runLevel(p.toInt, out, "main")
     case Array("level", p, out, phase) => runLevel(p.toInt, out, phase)
     case _ => orchestrate()
   }
 
-  private def orchestrate(): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt
-    val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
-    val kl = kf * 2
-    // full | kernel (kernel+cpu only) | loop (loop points only) |
-    // queries (per-query timings + ann only)
-    val benchMode = benchModeEnv
-    val kernelOnly = benchMode == "kernel"
-    val loopOnly = benchMode == "loop"
-    val queriesOnly = benchMode == "queries"
-    val clusterOnly = benchMode == "cluster"
-    // Durable-loop batch-size sweep (judge r1 item 10): each point is a full
-    // crawl of the SAME corpus split into `nb` supersteps — more supersteps
-    // = more per-commit serial cost, so the sweep shows how checkpoint
-    // amortization buys scaling efficiency back as batches grow. The
-    // long-superstep point (judge r2 item 1) is the operating-regime probe:
-    // supersteps long enough that the per-superstep commit/planning floor
-    // is <10% of superstep time — the regime a 10^10-URL crawl actually
-    // runs in (minutes of partition-parallel work per politeness window vs
-    // seconds of commit latency). "<docs>x<batches>" via
-    // SPARK_GRAFT_LOOP_LONG; empty disables.
-    val longPoint = longPointEnv
+  /** A failed phase LOGS AND CONTINUES: one broken child must not cost
+    * the run its artifact (rc 0 + what landed beats rc 1 + nothing). */
+  private def phaseTry[T](what: String)(body: => T): Option[T] =
+    try Some(body) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] phase $what FAILED: ${e.getMessage}")
+        None
+    }
 
-    // ---- part 1: scaling (low parallelism first, then 4x) ----
-    // N vs 4N cores (north rule's two cluster sizes), each level in its own
-    // JVM capped to the level's core count (see runLevel).
+  private def orchestrate(): Unit = {
+    val benchMode = benchModeEnv
     val pLow = pLowEnv
     val pHigh = pLow * 4
 
@@ -747,496 +645,255 @@ object Bench {
       return
     }
 
-    // Throwaway parse-phase decomposition (dev-only): times each sub-stage
-    // of the parse pipeline over the bucketed corpus at pLow and pHigh.
-    if (benchMode == "decomp") {
-      val d = longPoint.map(_._1).getOrElse(1200000)
-      writeCorpusTable(CorpusTable, d)
-      Seq(pLow, pHigh).foreach { p =>
-        val s = session(p)
-        declareCorpusTable(s)
-        import s.implicits._
-        val cfg = CrawlConfig(batchSize = d / 2, perHostCap = d / 2,
-          nBuckets = 64, saltBuckets = 16, minTokens = 50)
-        val corpus = s.table(CorpusTable)
-        val pop = s.range(d / 2)
-          .map(i => (Corpus.urlFor(i * 2, d), 1L)).toDF("url", "priority")
-        def t(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-          forceEval(df) // warm
-          val times = (1 to 2).map { _ =>
-            val t0 = System.nanoTime(); forceEval(df); (System.nanoTime() - t0) / 1e9
-          }
-          System.err.println(f"[decomp] p=$p $tag%-12s ${times.min}%7.2f s")
-        }
-        t("scan")(corpus)
-        t("join")(Fetcher.fetch(pop, corpus))
-        t("links")(Parser.linksOf(Fetcher.fetch(pop, corpus), cfg))
-        t("linkagg")(Parser.linksOf(Fetcher.fetch(pop, corpus), cfg)
-          .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
-          .groupBy(col("bucket")).count())
-        s.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      }
-      return
+    val kernelOnly = benchMode == "kernel"
+    val loopOnly = benchMode == "loop"
+    val queriesOnly = benchMode == "queries"
+    val clusterOnly = benchMode == "cluster"
+    val doLoop = !kernelOnly && !queriesOnly && !clusterOnly
+    val doKernel = !loopOnly && !queriesOnly && !clusterOnly
+    val doQueries = !loopOnly && !kernelOnly && !clusterOnly
+    val doCluster = benchMode == "full" || clusterOnly
+
+    // unit-cost priors (seconds; rolling max once observed) — sized from
+    // the recorded r3/r4 runs (BENCH.md): loop pair ≈ 5 min on a loaded
+    // box, kernel pair ≈ 2 min, query child ≈ 4 min
+    def prior(k: String, d: Double): Double =
+      sys.env.get(s"SPARK_GRAFT_COST_$k").map(_.toDouble).getOrElse(d)
+    val loopPairCost = new Cost(prior("LOOP_PAIR", 300))
+    val kernelPairCost = new Cost(prior("KERNEL_PAIR", 120))
+    val queriesCost = new Cost(prior("QUERIES", 240))
+    val sweepCost = new Cost(prior("SWEEP", 130))
+    val clusterKernelCost = new Cost(prior("CLUSTER_KERNEL_PAIR", 240))
+    val clusterLoopCost = new Cost(prior("CLUSTER_LOOP_PAIR", 420))
+
+    val state = new BenchReport.State
+    installShutdownHook()
+    emit(state) // a floor line exists from second 0
+
+    // reserves: time still owed to not-yet-run criterion phases — optional
+    // units only run if the budget holds after paying them
+    def reserve: Double =
+      (if (doKernel && state.kernelPairs.isEmpty) kernelPairCost.sec else 0.0) +
+        (if (doQueries && state.queries.isEmpty) queriesCost.sec else 0.0)
+    def gate(what: String, cost: Double, mandatory: Boolean = false): Boolean = {
+      val need = cost * 1.1 + (if (mandatory) 0.0 else reserve)
+      val ok = mandatory || remainingSec > need
+      if (!ok) System.err.println(
+        f"[bench] SKIP $what: ${remainingSec}%.0f s left < ${need}%.0f s needed" +
+          f" (budget $budgetSec%.0f)")
+      ok
     }
 
-    // The long point's corpus is generated ONCE, by a full-box session, as a
-    // BUCKETED tmpfs table: generation speed is not the metric, both scaling
-    // levels crawl the IDENTICAL stored table, and the fetch join
-    // co-partitions against the buckets (the corpus never shuffles —
-    // repartition on doc_id first so each bucket is exactly one sorted
-    // file and the SORTED BY spec is honored at read).
-    val longCorpus: Option[(Int, Int)] =
-      longPoint.filter(_ => !kernelOnly && !queriesOnly && !clusterOnly)
-        .map { case (d, b) => writeCorpusTable(CorpusTable, d); (d, b) }
-
-    // ---- part 1 (FIRST — the coldest, quietest window): the long-
-    // superstep loop point as INTERLEAVED (N, 4N) child-JVM pairs.
-    // Each pair runs back-to-back in the same few-minute window, so slow
-    // box-load drift (the r3 artifact's failure mode: the N level caught a
-    // quiet evening window, mechanically deflating the recorded ratio)
-    // cancels within a pair; 3 pairs = 3 reps at BOTH levels, escalating
-    // adaptively to 5 pairs when the window is visibly noisy (below). The
-    // headline efficiency is the MEDIAN OF THE PER-PAIR WHOLE-RUN RATIOS
-    // (see the estimator rationale at the stats block below); the per-
-    // superstep-minima floor and the per-superstep paired median ride
-    // alongside as cross-checks.
-    // ABBA level ordering across pairs (odd pairs N→4N, even pairs 4N→N):
-    // within one pair the two levels still run ~4 min apart, so a linear
-    // box-load drift biases each pair's ratio — alternating the order makes
-    // consecutive pairs' biases opposite-signed, and the median over their
-    // per-superstep ratios cancels the drift term.
-    val nPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS", "3").toInt
-    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS_MAX", "5").toInt
-    // A pair counts as CLEAN when BOTH its brackets sit inside the band
-    // [ctlClean, ctlCleanHi]. Lower cut: observed quiet windows read
-    // 0.92-0.97, loaded 0.74-0.85; the probe itself carries a few points
-    // of noise (min-of-3 over a ~1.4 s job), so the cut sits between the
-    // two populations, not at the quiet floor. Upper cut: thread scaling
-    // cannot be superlinear, so a control above ~1.0 (a 06:15 run
-    // recorded a 1.587 bracket) means the load hit the probe's own
-    // 2-thread level — an N-side squeeze, the direction that INFLATES
-    // the loop ratio (the 12:35 run's pair-1 lesson) — and the window is
-    // dirty in the flattering direction.
-    val ctlClean = sys.env.getOrElse("SPARK_GRAFT_CTL_CLEAN", "0.88").toDouble
-    val ctlCleanHi =
-      sys.env.getOrElse("SPARK_GRAFT_CTL_CLEAN_HI", "1.05").toDouble
-    def pairClean(ctlLo: Double, ctlHi: Double): Boolean =
-      ctlLo >= ctlClean && ctlHi <= ctlCleanHi
-    // The reported per-pair score is the DECISIVE bracket: the one
-    // outside the band when the pair is dirty (so an excluded pair's
-    // number explains its exclusion), the conservative min otherwise.
-    def ctlReport(ctlLo: Double, ctlHi: Double): Double =
-      if (ctlHi > ctlCleanHi) ctlHi else ctlLo
-    // The window probe: the no-Spark string-pipeline control at both
-    // levels, back-to-back (~15 s total against a ~4-minute pair). Run
-    // before AND after each pair; the pair's score is the worse bracket.
+    // window probe: the no-Spark string control at both levels (~15 s);
+    // consecutive loop pairs SHARE a bracket (pair i's post = pair i+1's
+    // pre) — same evidence, half the probes
     def ctlWindowEff(): Double = {
       val n = timedParseControl(150000, pLow, reps = 3)
       val h = timedParseControl(150000, pHigh, reps = 3)
       (n / h) / 4.0
     }
-    // Experiment knob (codec A/B, BENCH.md §0): cycle the loop children's
-    // shuffle/broadcast/spill codec across pairs ("zstd,lz4" → pair i uses
-    // entry (i-1) % len), parquet codec fixed — matched-window per-pair
-    // attribution of the SHUFFLE codec on the loop, the cell experiments
-    // 1/3 left open (exp 1 changed shuffle+parquet together; exp 3 changed
-    // only parquet). Empty (default) = inherit; never set on criterion runs.
+
+    // ---- phase 1 (CRITERION, coldest window): long-superstep loop point
+    // as interleaved (N, 4N) child-JVM pairs, ABBA level order across
+    // pairs (drift biases cancel in the median); headline = control-gated
+    // median of per-pair whole-run ratios (render()). ----
+    val nPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS", "3").toInt
+    val maxPairs = sys.env.getOrElse("SPARK_GRAFT_LOOP_PAIRS_MAX", "5").toInt
+    // experiment knob (BENCH.md §0 exp 4): per-pair shuffle-codec cycling;
+    // never set on criterion runs
     val loopCodecAb: Seq[String] =
       sys.env.getOrElse("SPARK_GRAFT_LOOP_CODEC_AB", "")
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    def runLoopPair(i: Int): LoopPair = {
-      val codecEnv: Map[String, String] =
-        if (loopCodecAb.isEmpty) Map.empty
-        else Map("SPARK_GRAFT_IO_CODEC" ->
-          loopCodecAb((i - 1) % loopCodecAb.size))
-      System.err.println(s"[bench] long-point pair $i" +
-        codecEnv.values.map(c => s" (io codec $c)").mkString)
-      val pre = ctlWindowEff()
-      val (lo, hi) =
-        if (i % 2 == 1) (spawnLooplong(pLow, codecEnv), spawnLooplong(pHigh, codecEnv))
-        else { val h = spawnLooplong(pHigh, codecEnv); (spawnLooplong(pLow, codecEnv), h) }
-      val post = ctlWindowEff()
-      System.err.println(f"[bench] pair $i ctl brackets $pre%.3f/$post%.3f")
-      LoopPair(lo, hi, math.min(pre, post), math.max(pre, post))
-    }
-    // One pair's whole-run steady-state ratio — the headline's sample unit
-    // (same formula as the stats block below; duplicated here so the
-    // escalation check can run before the stats block exists).
-    def pairRatio(p: LoopPair): Double = {
-      val sN = p.lo.secs.drop(1).sum
-      val s4 = p.hi.secs.drop(1).sum
-      (sN / s4) / 4.0
-    }
-    val pairs: Seq[LoopPair] =
-      if (longCorpus.isEmpty || clusterOnly) Seq.empty
-      else {
-        var ps = (1 to nPairs).map(runLoopPair).toVector
-        // Adaptive escalation (judge r3: "if a quiet window still can't be
-        // had, record >= 5 ratios and report the median with the spread"):
-        // a marginal median or a wide pair spread is the signature of a
-        // loaded window (the 03:20 r4 full run read pairs [0.711, 0.519,
-        // 1.004] while adjacent quiet runs of the same code read
-        // 0.92-1.00), so instead of recording that noise as the round's
-        // criterion number, buy up to (maxPairs - nPairs) more same-window
-        // A/B samples and let the median reject the outlier pairs. A quiet
-        // window stops at nPairs — bounded wall time in the common case.
-        // The stop rule is one-sided (it never trims pairs, only adds
-        // them, and every pair taken is reported), so the worst it can do
-        // is report the median of MORE samples; all ratios land in the
-        // artifact for the spread to speak for itself. Escalation also
-        // fires while fewer than two pairs have CLEAN brackets — the
-        // control-gated headline below needs >= 2 clean samples, and
-        // buying more pairs is the only way a wave-loaded window (clean
-        // and squeezed minutes alternating — the 12:18 loop-only run's
-        // pairs read [0.622, 0.882, 0.732, 0.566, 0.841]) yields them.
-        while (ps.size < maxPairs && {
-          val rs = ps.map(pairRatio)
-          median(rs) < 0.85 || rs.max - rs.min > 0.25 ||
-            ps.count(p => pairClean(p.ctl, p.ctlHi)) < 2
-        }) {
-          val rs = ps.map(pairRatio)
-          System.err.println(f"[bench] loop pairs noisy (median ${median(rs)}%.3f, spread ${rs.max - rs.min}%.3f, clean ${ps.count(p => pairClean(p.ctl, p.ctlHi))}) — adding pair ${ps.size + 1}")
-          ps = ps :+ runLoopPair(ps.size + 1)
+    if (doLoop) longPointEnv.foreach { case (d, b) =>
+      val gen = phaseTry("corpus-gen")(writeCorpusTable(CorpusTable, d))
+      if (gen.isDefined) {
+        state.longPoint = Some((d, b))
+        var lastCtl = ctlWindowEff()
+        var i = 0
+        var go = true
+        while (go) {
+          i += 1
+          val codecEnv: Map[String, String] =
+            if (loopCodecAb.isEmpty) Map.empty
+            else Map("SPARK_GRAFT_IO_CODEC" -> loopCodecAb((i - 1) % loopCodecAb.size))
+          System.err.println(s"[bench] long-point pair $i" +
+            codecEnv.values.map(c => s" (io codec $c)").mkString)
+          loopPairCost.timed {
+            phaseTry(s"loop pair $i") {
+              val (lo, hi) =
+                if (i % 2 == 1) (spawnLooplong(pLow, codecEnv), spawnLooplong(pHigh, codecEnv))
+                else { val h = spawnLooplong(pHigh, codecEnv); (spawnLooplong(pLow, codecEnv), h) }
+              val post = ctlWindowEff()
+              System.err.println(f"[bench] pair $i ctl brackets $lastCtl%.3f/$post%.3f")
+              state.loopPairs :+= LoopPair(lo, hi,
+                math.min(lastCtl, post), math.max(lastCtl, post))
+              lastCtl = post
+            }
+          }
+          emit(state)
+          def pairRatio(p: LoopPair): Double =
+            (p.lo.secs.drop(1).sum / p.hi.secs.drop(1).sum) / 4.0
+          val rs = state.loopPairs.map(pairRatio)
+          // escalate past nPairs only while the window is visibly noisy
+          // (marginal median / wide spread / < 2 clean brackets) AND the
+          // budget still covers a pair after the reserves (BENCH.md §0
+          // item 6: escalation buys samples, the budget keeps the
+          // artifact alive)
+          val noisy = rs.nonEmpty && (median(rs) < 0.85 ||
+            rs.max - rs.min > 0.25 ||
+            state.loopPairs.count(p => pairClean(p.ctl, p.ctlHi)) < 2)
+          go =
+            if (i < nPairs) gate(s"loop pair ${i + 1}", loopPairCost.sec)
+            else if (i < maxPairs && noisy) {
+              val fits = gate(s"escalation pair ${i + 1}", loopPairCost.sec)
+              if (fits) System.err.println(
+                f"[bench] loop pairs noisy (median ${median(rs)}%.3f, " +
+                  f"spread ${rs.max - rs.min}%.3f, clean ${state.loopPairs.count(p => pairClean(p.ctl, p.ctlHi))}) — adding pair ${i + 1}")
+              fits
+            } else false
         }
-        ps
+        dropCorpusLocation() // free the tmpfs table before later phases
       }
+    }
 
-    // ---- part 2: per-query timings + ANN recall in a dedicated
-    // full-width child JVM, min-of-2 reps per query (judge r3 item 2) ----
-    val (results, annRecall) =
-      if (kernelOnly || loopOnly || clusterOnly) (Seq.empty[(String, Double)], None)
-      else spawnQueries()
-
-    // ---- part 3: kernel + controls, then the loop sweep — each
-    // measurement's two levels spawn BACK-TO-BACK (its own child pair), so
-    // box-load drift hits both levels of a ratio near-equally instead of
-    // biasing the headline (the same pairing fix as the long point) ----
-    val noKernel = queriesOnly || loopOnly || clusterOnly
-    val noSweep = queriesOnly || kernelOnly || clusterOnly || sweepSpecEnv.isEmpty
-    // The kernel is the BASELINE headline, so it gets the same estimator
-    // as the loop criterion: ABBA (N, 4N) child-JVM pairs, headline
-    // efficiency = MEDIAN of the per-pair ratios (one loaded window can
-    // no longer poison the recorded number — the 10:30 full run's single
-    // kernel pair read 0.771 under heavy box load while its own controls
-    // read 0.89–0.94). Throughput still reports the per-level best (min
-    // time) across pairs; controls take the min per level likewise.
-    val nKernelPairs =
-      sys.env.getOrElse("SPARK_GRAFT_KERNEL_PAIRS", "3").toInt
-    val kernelPairs: Seq[((Double, Long, Double, Double), (Double, Long, Double, Double))] =
-      if (noKernel) Seq.empty
-      else (1 to nKernelPairs).map { i =>
+    // ---- phase 2 (CRITERION): kernel + controls, ABBA child pairs ----
+    val nKernelPairs = sys.env.getOrElse("SPARK_GRAFT_KERNEL_PAIRS", "3").toInt
+    if (doKernel) {
+      var i = 0
+      var go = gate("kernel pair 1", kernelPairCost.sec, mandatory = true)
+      while (go && i < nKernelPairs) {
+        i += 1
         System.err.println(s"[bench] kernel pair $i/$nKernelPairs")
-        if (i % 2 == 1) (spawnKernel(pLow), spawnKernel(pHigh))
-        else { val hi = spawnKernel(pHigh); (spawnKernel(pLow), hi) }
+        kernelPairCost.timed {
+          phaseTry(s"kernel pair $i") {
+            val pr =
+              if (i % 2 == 1) (spawnKernel(pLow), spawnKernel(pHigh))
+              else { val hi = spawnKernel(pHigh); (spawnKernel(pLow), hi) }
+            state.kernelPairs :+= pr
+          }
+        }
+        emit(state)
+        go = i < nKernelPairs && gate(s"kernel pair ${i + 1}", kernelPairCost.sec)
       }
-    val (kN, k4) =
-      if (noKernel) ((1.0, 0L, 1.0, 1.0), (1.0, 0L, 1.0, 1.0))
-      else {
-        def best(side: Seq[(Double, Long, Double, Double)]) =
-          (side.map(_._1).min, side.head._2, side.map(_._3).min, side.map(_._4).min)
-        (best(kernelPairs.map(_._1)), best(kernelPairs.map(_._2)))
-      }
-    val (sweepN, sweep4) =
-      if (noSweep) (Seq.empty[(Int, Int, Long, Double)], Seq.empty[(Int, Int, Long, Double)])
-      else (spawnSweep(pLow), spawnSweep(pHigh))
-    val levelN = LevelResult(kN._1, kN._2, kN._3, kN._4, sweepN)
-    val level4N = LevelResult(k4._1, k4._2, k4._3, k4._4, sweep4)
+    }
 
-    // ---- part 4: LITERAL executor-count scaling (north rule wording: "run
-    // via spark-submit on a multi-executor cluster at two cluster sizes (N
-    // and 4N executors)"). Same box, but each level is now a real standalone
-    // mini-cluster (local-cluster master, entered via spark-submit): N = 2
-    // executors vs 4N = 8, each executor its OWN JVM with a 1-core slice —
-    // class distribution, netty shuffle fetch, RPC broadcast and
-    // cross-process snapshot commits are all the moving parts spark-submit
-    // exercises on a real cluster. The thread-level pairs above remain the
-    // HEADLINE (r1–r4 lineage comparability, lower harness overhead); this
-    // phase evidences the rule's literal shape on the IDENTICAL long-point
-    // job over the identical stored corpus. The driver child JVM is capped
-    // at a fixed 8 processors at BOTH levels, so the only resource that
-    // scales between levels is the executor count.
+    // ---- phase 3 (CRITERION): per-query timings + ANN recall in a
+    // dedicated full-width child. Attempted unless the budget is already
+    // deeply blown (prefer rc 0 with what we have). ----
+    if (doQueries && remainingSec > -0.5 * queriesCost.sec) {
+      queriesCost.timed {
+        phaseTry("queries") {
+          val (qs, ann) = spawnQueries()
+          state.queries = qs
+          state.ann = ann
+        }
+      }
+      emit(state)
+    } else if (doQueries)
+      System.err.println(f"[bench] SKIP queries: ${remainingSec}%.0f s left")
+
+    // ---- phase 4 (supplementary): small-corpus loop sweep, both levels
+    // back-to-back (its own pair window). Criterion only when the long
+    // point is disabled (loop_scaling falls back to the best sweep row).
+    if (doLoop && sweepSpecEnv.nonEmpty &&
+        gate("sweep", sweepCost.sec, mandatory = longPointEnv.isEmpty)) {
+      sweepCost.timed {
+        phaseTry("sweep") {
+          state.sweepN = spawnSweep(pLow)
+          state.sweep4 = spawnSweep(pHigh)
+        }
+      }
+      emit(state)
+    }
+
+    // ---- phase 5 (supplementary): LITERAL executor-count scaling — the
+    // north rule's "spark-submit ... N and 4N executors" as real
+    // standalone mini-clusters (2 -> 8 single-core executor JVMs; the
+    // driver child is capped at a fixed width, so executor count is the
+    // only scaled resource; 1 executor would make every shuffle block a
+    // local read — see BENCH.md §1b). Thread pairs stay the HEADLINE
+    // (r1–r4 lineage); this phase evidences the rule's literal shape. ----
     val clusterPairsN =
-      if (queriesOnly || kernelOnly || loopOnly) 0
+      if (!doCluster) 0
       else sys.env.getOrElse("SPARK_GRAFT_CLUSTER_PAIRS", "2").toInt
-    // The cluster loop crawls its OWN, cluster-sized long point — default
-    // 2.4M x 2, i.e. ONE steady superstep of the SAME 1.2M-doc size as the
-    // thread criterion's supersteps (the thread-level 3.6M x 3 point would
-    // run ~10 min/rep on 2 single-core executor JVMs). Superstep size
-    // matters more than step count here: a 1.2Mx3 shape (400K-doc steps)
-    // was measured at eff 0.50 in the same windows where 2.4Mx2 read 0.71
-    // — small supersteps sit in the per-superstep commit/planning-floor
-    // regime (the same Amdahl term the thread sweep shows at 0.2-0.35),
-    // which deflates the ratio mechanically (the floor is a larger share
-    // of the FAST level's wall time). Same generator, seed and bucketed
-    // layout; generated HERE (after the headline phases) so the
-    // full-width write doesn't warm the box before part 1's quiet window.
     val clusterPoint: Option[(Int, Int)] =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_LOOP_LONG", "2400000x2")
         .split("x") match {
           case Array(d, b) => Some((d.trim.toInt, b.trim.toInt))
           case _ => None
         }
-    // free the (much larger) thread-point table before generating this one
-    longCorpus.foreach(_ => dropCorpusLocation())
-    val clusterCorpus: Option[(Int, Int)] =
-      clusterPoint.filter(_ => clusterPairsN > 0)
-        .map { case (d, b) => writeCorpusTable(ClusterCorpusTable, d); (d, b) }
-    val clusterLoopEnv: Map[String, String] = clusterCorpus.map { case (d, b) =>
-      Map("SPARK_GRAFT_LOOP_LONG" -> s"${d}x$b",
-        "SPARK_GRAFT_CORPUS_TABLE" -> ClusterCorpusTable)
-    }.getOrElse(Map.empty)
-    // 2 -> 8 single-core executors, not 1 -> 4: with a single executor at
-    // the N level every shuffle block is a local read, so the baseline gets
-    // an in-process discount no multi-node cluster's N level enjoys and the
-    // ratio measures netty-vs-local-shuffle instead of scaling. At 2
-    // executors the cross-JVM fetch cost is in BOTH levels, and 1-core
-    // slices keep the core budgets (2 -> 8) identical to the thread-level
-    // N/4N pairs, so the two phases are directly comparable and the high
-    // level stays out of the box's bus-saturated regime (2-core slices at
-    // 8 execs = 16 cores measured eff 0.56 for this reason).
     val execsLow = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXECS_LOW", "2").toInt
     val execsHigh = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXECS_HIGH", "8").toInt
     def clusterAbba[T](i: Int, run: Int => T): (T, T) =
       if (i % 2 == 1) (run(execsLow), run(execsHigh))
       else { val h = run(execsHigh); (run(execsLow), h) }
-    // A failed cluster pair LOGS AND DROPS, never aborts: this phase is
-    // supplementary evidence — the round's criterion artifact (the thread
-    // pairs above) must survive a standalone-cluster hiccup.
-    def clusterTry[T](what: String)(body: => T): Option[T] =
-      try Some(body) catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] cluster $what FAILED: ${e.getMessage}")
-          None
-      }
-    val clusterKernelPairs: Seq[((Long, Double), (Long, Double))] =
-      (1 to (if (clusterPairsN > 0) 2 else 0)).flatMap { i =>
+    if (clusterPairsN > 0) {
+      val nCk = 2
+      var i = 0
+      var go = gate("cluster kernel pair 1", clusterKernelCost.sec,
+        mandatory = clusterOnly)
+      while (go && i < nCk) {
+        i += 1
         System.err.println(s"[bench] cluster kernel pair $i (execs $execsLow vs $execsHigh)")
-        clusterTry(s"kernel pair $i")(clusterAbba(i, spawnKernelCluster))
-      }
-    val clusterLoopPairs: Seq[LoopPair] =
-      if (clusterPairsN == 0 || clusterCorpus.isEmpty) Seq.empty
-      else (1 to clusterPairsN).flatMap { i =>
-        System.err.println(s"[bench] cluster loop pair $i (execs $execsLow vs $execsHigh)")
-        val pre = ctlWindowEff()
-        val r = clusterTry(s"loop pair $i")(
-          clusterAbba(i, (n: Int) => spawnLooplong(8, clusterEnv(n) ++ clusterLoopEnv)))
-        // settle: the last executor JVMs exit asynchronously after the
-        // driver child returns; don't let their teardown squeeze the
-        // post-bracket into misreporting the window as loaded
-        Thread.sleep(3000)
-        val post = ctlWindowEff()
-        System.err.println(f"[bench] cluster pair $i ctl brackets $pre%.3f/$post%.3f")
-        r.map { case (lo, hi) =>
-          LoopPair(lo, hi, math.min(pre, post), math.max(pre, post)) }
-      }
-
-    // tmpfs hygiene: the cluster-point corpus table is RAM-backed (the
-    // thread-point table was dropped before this one was generated)
-    clusterCorpus.foreach(_ => dropCorpusLocation(ClusterCorpusTable))
-
-    val kthr8 = levelN.ku / levelN.kt
-    val kthr32 = level4N.ku / level4N.kt
-    // Per-pair kernel ratios (ku is level-independent, so the ratio is a
-    // pure time ratio); headline = median over the ABBA pairs, same
-    // estimator as the loop criterion. `efficiency_best` (best-time ratio,
-    // the pre-r4 estimator) rides alongside for lineage comparability.
-    val kernelPairRatios = kernelPairs.map { case (lo, hi) =>
-      (lo._3 / hi._3) / 4.0
-    }
-    // 0.0, not NaN, when the kernel phase was skipped (queries-only mode):
-    // NaN is not valid JSON and would break the driver's parse
-    val keffBest = if (kthr8 > 0) (kthr32 / kthr8) / 4.0 else 0.0
-    val keff =
-      if (kernelPairRatios.nonEmpty) median(kernelPairRatios) else keffBest
-    val kernelPairsStr = kernelPairRatios.zip(kernelPairs).map {
-      case (r, (lo, hi)) =>
-        f"""{"sec_pN":${lo._3}%.2f,"sec_p4N":${hi._3}%.2f,"ratio":$r%.3f}"""
-    }.mkString("[", ",", "]")
-    val cpuEff = (levelN.cpu / level4N.cpu) / 4.0
-    val strEff = (levelN.str / level4N.str) / 4.0
-
-    val sweepJson = levelN.loops.zip(level4N.loops).map {
-      case ((nb, nd, uN, tN), (_, _, u4, t4)) =>
-        val thrN = uN / tN
-        val thr4 = u4 / t4
-        val e = (thr4 / thrN) / 4.0
-        (nb, nd, thrN, tN, thr4, t4, e)
-    }
-    val sweepStr = sweepJson.map { case (nb, nd, thrN, tN, thr4, t4, e) =>
-      f"""{"batches":$nb,"n_docs":$nd,"batch_size":${nd / nb},"thr_pN":$thrN%.1f,"sec_pN":$tN%.2f,"thr_p4N":$thr4%.1f,"sec_p4N":$t4%.2f,"efficiency":$e%.3f}"""
-    }.mkString("[", ",", "]")
-
-    // Long-point statistics over the steady-state supersteps (>= 1; the
-    // bootstrap superstep is structurally different, see runLooplong).
-    // Tuple: (thr_p4N, headline efficiency, verbose fragment, compact
-    // fragment — the verbose one goes to the detail file, the compact one
-    // to the stdout line the driver's bounded tail must hold whole).
-    val longStr = (longPoint, pairs) match {
-      case (Some((d, b)), ps) if ps.nonEmpty =>
-        val urlsSteady = ps.head.lo.urls.drop(1).sum // deterministic per level
-        val stepsN = ps.map(_.lo.secs.drop(1))
-        val steps4 = ps.map(_.hi.secs.drop(1))
-        // whole-rep paired ratios (one per pair) + per-superstep paired
-        // ratios (the headline's sample set: nPairs * steadySteps values)
-        val pairRows = ps.map { p =>
-          val sN = p.lo.secs.drop(1).sum
-          val s4 = p.hi.secs.drop(1).sum
-          (sN, s4, (sN / s4) / 4.0, p.ctl, p.ctlHi)
+        clusterKernelCost.timed {
+          phaseTry(s"cluster kernel pair $i") {
+            state.clusterKernelPairs :+= clusterAbba(i, spawnKernelCluster)
+          }
         }
-        val stepRatios = stepsN.zip(steps4).flatMap { case (sN, s4) =>
-          sN.zip(s4).map { case (a, b) => (a / b) / 4.0 }
-        }
-        // HEADLINE estimator = MEDIAN OF PER-PAIR WHOLE-RUN RATIOS over
-        // the pairs whose CONTROL BRACKETS read clean (gate below).
-        // Each pair is one same-window A/B of the identical deterministic
-        // job (interleaved child JVMs minutes apart), whole-run sums
-        // average out per-superstep jitter within a rep, and the median
-        // over >= 3 pairs rejects one outlier pair in EITHER direction
-        // (a squeezed 4N rep or an anomalously fast N window alike).
-        // Measured motivation (BENCH.md 2.1, three same-day full runs):
-        // pair-median 0.925 / 0.810 / 0.821 - the only estimator >= 0.8
-        // in all three - vs per-superstep-minima floor 0.722 / 0.820 /
-        // 0.840 (hostage to one lucky N window) and per-superstep paired
-        // median 0.922 / 0.873 / 0.654 (6 scattered samples; one bad rep
-        // poisons a third of them). All alternates are emitted alongside
-        // so a noisy round is visible as estimator spread, not bias.
-        // The control gate was added after the escalation-live runs
-        // (BENCH.md 2.1): under SUSTAINED multi-tenant load the median
-        // of even 5 pairs reads ~0.73 while the same windows' no-Spark
-        // string control reads ~0.74 - the box, not the engine - and no
-        // estimator over raw ratios can read above the machine's
-        // same-window ceiling. Bracketing each pair with that control
-        // makes every sample carry its own window evidence.
-        val floorN = stepsN.transpose.map(_.min).sum
-        val floor4 = steps4.transpose.map(_.min).sum
-        val thrNf = urlsSteady / floorN
-        val thr4f = urlsSteady / floor4
-        val effFloor = (thr4f / thrNf) / 4.0
-        val effStepMedian = median(stepRatios)
-        val effPairMedian = median(pairRows.map(_._3))
-        // CONTROL-GATED headline: the median over pairs whose brackets
-        // (the no-Spark string control run immediately before and after
-        // the pair) read clean — i.e. the engine's scaling measured in
-        // windows where an independent probe says the MACHINE's own
-        // thread scaling was unimpaired. Pairs are never invented, only
-        // excluded, and every pair's ratio AND bracket score land in the
-        // artifact, so the gate is auditable sample-by-sample. The gate
-        // can only miss load that arrives strictly between brackets,
-        // which leaves squeezed pairs IN the clean set — it understates,
-        // never inflates. The band is TWO-SIDED: a bracket above
-        // ctlCleanHi is a superlinear control reading, i.e. the load hit
-        // the probe's own N level — the direction that INFLATES loop
-        // ratios — so it marks the window dirty just like a low one.
-        // Fewer than 2 clean pairs (sustained load even after
-        // escalation): fall back to the all-pair median rather than
-        // headline a 1-sample "median".
-        val cleanRatios =
-          pairRows.filter(p => pairClean(p._4, p._5)).map(_._3)
-        val effClean =
-          if (cleanRatios.size >= 2) median(cleanRatios) else effPairMedian
-        val headline = effClean
-        val pairsStr = pairRows.map { case (sN, s4, r, c, cHi) =>
-          f"""{"sec_pN":$sN%.2f,"sec_p4N":$s4%.2f,"ratio":$r%.3f,"ctl":$c%.3f,"ctl_hi":$cHi%.3f}"""
-        }.mkString("[", ",", "]")
-        val ratiosStr = stepRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
-        val secNArr = pairRows.map(r => f"${r._1}%.1f").mkString("[", ",", "]")
-        val sec4Arr = pairRows.map(r => f"${r._2}%.1f").mkString("[", ",", "]")
-        val prArr = pairRows.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        // the compact line reports each pair's DECISIVE bracket (see
-        // ctlReport): out-of-band values explain their own exclusion
-        val ctlArr = pairRows.map(r => f"${ctlReport(r._4, r._5)}%.3f")
-          .mkString("[", ",", "]")
-        val gateStr = f""""pair_ctls":$ctlArr,"ctl_clean":$ctlClean%.2f,"ctl_clean_hi":$ctlCleanHi%.2f,"clean_pairs":${cleanRatios.size},"efficiency_all_pairs":$effPairMedian%.3f,"""
-        Some((thr4f, headline,
-          f""""long":{"batches":$b,"n_docs":$d,"batch_size":${d / b},"urls_steady":$urlsSteady,"pairs":$pairsStr,"step_ratios":$ratiosStr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},""",
-          f""""long":{"batches":$b,"n_docs":$d,"urls_steady":$urlsSteady,"sec_pN":$secNArr,"sec_p4N":$sec4Arr,"pair_ratios":$prArr,"ratio_min":${stepRatios.min}%.3f,"ratio_max":${stepRatios.max}%.3f,"thr_pN":$thrNf%.1f,"thr_p4N":$thr4f%.1f,$gateStr"efficiency_floor":$effFloor%.3f,"efficiency_step_median":$effStepMedian%.3f,"efficiency":$headline%.3f},"""))
-      case _ => None
-    }
-    // headline loop efficiency: the long point's paired median when it ran,
-    // else the best sweep point (small-corpus smoke runs)
-    val (loopThr, loopEff) = longStr match {
-      case Some((t, e, _, _)) => (t, e)
-      case None =>
-        val best = sweepJson.sortBy(-_._7).headOption
-        (best.map(_._5).getOrElse(0.0), best.map(_._7).getOrElse(0.0))
-    }
-    val longJson = longStr.map(_._3).getOrElse("")
-    val longCompact = longStr.map(_._4).getOrElse("")
-
-    // Cluster-scaling fragments (verbose, compact): efficiency = median of
-    // per-pair whole-run ratios, the same estimator as the thread-level
-    // criterion; every pair's seconds and bracket score land in the artifact.
-    val (clusterJson, clusterCompact) =
-      if (clusterLoopPairs.isEmpty && clusterKernelPairs.isEmpty) ("", "")
-      else {
-        val mem = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_MEM", "8192")
-        val kp = clusterKernelPairs.map { case ((_, tN), (_, t4)) =>
-          (tN, t4, (tN / t4) / (execsHigh.toDouble / execsLow)) }
-        val kEff = if (kp.nonEmpty) median(kp.map(_._3)) else 0.0
-        val kThr4 = clusterKernelPairs.headOption
-          .map(p => p._1._1 / clusterKernelPairs.map(_._2._2).min).getOrElse(0.0)
-        val kPairsStr = kp.map { case (a, b, r) =>
-          f"""{"sec_e1":$a%.2f,"sec_e4":$b%.2f,"ratio":$r%.3f}""" }
-          .mkString("[", ",", "]")
-        val lp = clusterLoopPairs.map { p =>
-          val sN = p.lo.secs.drop(1).sum; val s4 = p.hi.secs.drop(1).sum
-          (sN, s4, (sN / s4) / (execsHigh.toDouble / execsLow),
-            ctlReport(p.ctl, p.ctlHi)) }
-        val urlsSteady = clusterLoopPairs.headOption
-          .map(_.lo.urls.drop(1).sum).getOrElse(0L)
-        val lEff = if (lp.nonEmpty) median(lp.map(_._3)) else 0.0
-        val lThr4 = if (lp.nonEmpty) urlsSteady / lp.map(_._2).min else 0.0
-        val lPairsStr = lp.map { case (a, b, r, c) =>
-          f"""{"sec_e1":$a%.2f,"sec_e4":$b%.2f,"ratio":$r%.3f,"ctl":$c%.3f}""" }
-          .mkString("[", ",", "]")
-        val kRatios = kp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        val lRatios = lp.map(r => f"${r._3}%.3f").mkString("[", ",", "]")
-        val lCtls = lp.map(r => f"${r._4}%.2f").mkString("[", ",", "]")
-        val lPoint = clusterCorpus.map { case (d, b) => s"${d}x$b" }.getOrElse("")
-        (f""""cluster_scaling":{"mode":"local-cluster","execs_low":$execsLow,"execs_high":$execsHigh,"exec_cores":$clusterExecCores,"exec_mem_mb":$mem,"kernel":{"pairs":$kPairsStr,"thr_e4":$kThr4%.1f,"efficiency":$kEff%.3f},"loop":{"point":"$lPoint","urls_steady":$urlsSteady,"pairs":$lPairsStr,"thr_e4":$lThr4%.1f,"efficiency":$lEff%.3f}},""",
-         f""""cluster_scaling":{"execs":"${execsLow}x$clusterExecCores->${execsHigh}x$clusterExecCores","kernel_ratios":$kRatios,"kernel_eff":$kEff%.3f,"loop_ratios":$lRatios,"loop_ctls":$lCtls,"loop_thr_e4":$lThr4%.1f,"loop_eff":$lEff%.3f},""")
+        emit(state)
+        go = i < nCk && gate(s"cluster kernel pair ${i + 1}", clusterKernelCost.sec)
       }
-
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    // Short keys ("q39" for "q39_near_dup_pipeline") for the stdout line:
-    // the driver's artifact keeps only the last ~2 KB of output, and
-    // rounds 1-3 all recorded parsed:null because the full-name line
-    // outgrew that window. Full names stay in the detail file + BENCH.md.
-    val qsShort = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val annStr = annRecall
-      .map { case (l, i, p) =>
-        f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f,"pq_q53":$p%.3f}""" }
-      .getOrElse("")
-    val kernelRatiosStr =
-      kernelPairRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
-    val detail =
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qs$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"frontier":$kf,"links":$kl,"urls_pN":${levelN.ku},"sec_pN":${levelN.kt}%.2f,"thr_pN":$kthr8%.1f,"urls_p4N":${level4N.ku},"sec_p4N":${level4N.kt}%.2f,"thr_p4N":$kthr32%.1f,"pairs":$kernelPairsStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,$clusterJson"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,"n_docs":$nDocs,"sweep":$sweepStr,$longJson"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
-    val detailPath =
-      sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "target/bench_detail.json")
-    try {
-      val p = java.nio.file.Paths.get(detailPath)
-      Option(p.getParent)
-        .foreach(d => java.nio.file.Files.createDirectories(d))
-      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full detail -> $detailPath")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      clusterPoint.foreach { case (d, b) =>
+        if (gate("cluster loop", clusterLoopCost.sec + 90,
+            mandatory = clusterOnly)) {
+          val gen = phaseTry("cluster corpus-gen")(
+            writeCorpusTable(ClusterCorpusTable, d))
+          if (gen.isDefined) {
+            state.clusterPoint = Some((d, b))
+            val loopEnv = Map("SPARK_GRAFT_LOOP_LONG" -> s"${d}x$b",
+              "SPARK_GRAFT_CORPUS_TABLE" -> ClusterCorpusTable)
+            // optional quiet-window launch probe (VERDICT r4 next #4): wait
+            // for a clean bracket before each pair, bounded by the budget
+            val waitQuiet =
+              sys.env.get("SPARK_GRAFT_CLUSTER_WAIT_QUIET").map(_.toDouble)
+            var ci = 0
+            var cgo = true
+            while (cgo && ci < clusterPairsN) {
+              ci += 1
+              var pre = ctlWindowEff()
+              waitQuiet.foreach { thr =>
+                var tries = 0
+                while ((pre < thr || pre > ctlCleanHi) && tries < 10 &&
+                    remainingSec > clusterLoopCost.sec * 1.2 + 60) {
+                  System.err.println(f"[bench] cluster probe $pre%.3f outside [$thr%.2f,$ctlCleanHi%.2f] — waiting")
+                  Thread.sleep(30000); tries += 1; pre = ctlWindowEff()
+                }
+              }
+              System.err.println(s"[bench] cluster loop pair $ci (execs $execsLow vs $execsHigh)")
+              clusterLoopCost.timed {
+                phaseTry(s"cluster loop pair $ci") {
+                  val (lo, hi) = clusterAbba(ci,
+                    (n: Int) => spawnLooplong(8, clusterEnv(n) ++ loopEnv))
+                  // settle: executor JVMs exit asynchronously — don't let
+                  // their teardown squeeze the post-bracket
+                  Thread.sleep(3000)
+                  val post = ctlWindowEff()
+                  System.err.println(f"[bench] cluster pair $ci ctl brackets $pre%.3f/$post%.3f")
+                  state.clusterLoopPairs :+= LoopPair(lo, hi,
+                    math.min(pre, post), math.max(pre, post))
+                }
+              }
+              emit(state)
+              cgo = ci < clusterPairsN &&
+                gate(s"cluster loop pair ${ci + 1}", clusterLoopCost.sec)
+            }
+            dropCorpusLocation(ClusterCorpusTable) // tmpfs hygiene
+          }
+        }
+      }
     }
-    // ONE compact stdout JSON line, sized to survive the driver's bounded
-    // tail whole: short query keys, ratio arrays instead of pair objects,
-    // and the batch-size sweep only when the long point didn't run (the
-    // sweep's full numbers are in the detail file either way).
-    val sweepCompact =
-      if (longStr.isDefined || sweepJson.isEmpty) "" else s""""sweep":$sweepStr,"""
-    val compact =
-      f"""{"metric":"frontier_throughput_urls_per_sec","value":$kthr32%.1f,"unit":"urls/sec","sf":"$sfDir","queries":$qsShort$annStr,"cpu_control":{"sec_pN":${levelN.cpu}%.2f,"sec_p4N":${level4N.cpu}%.2f,"efficiency":$cpuEff%.3f},"string_control":{"sec_pN":${levelN.str}%.2f,"sec_p4N":${level4N.str}%.2f,"efficiency":$strEff%.3f},"kernel_scaling":{"p_low":$pLow,"p_high":$pHigh,"urls":${level4N.ku},"sec_pN":${levelN.kt}%.2f,"sec_p4N":${level4N.kt}%.2f,"thr_pN":$kthr8%.1f,"thr_p4N":$kthr32%.1f,"pair_ratios":$kernelRatiosStr,"efficiency_best":$keffBest%.3f,"efficiency":$keff%.3f},"queries_total_sec":$total%.2f,$clusterCompact"loop_scaling":{"p_low":$pLow,"p_high":$pHigh,$sweepCompact$longCompact"thr_p4N":$loopThr%.1f,"efficiency":$loopEff%.3f}}"""
-    if (compact.length > 1850)
-      System.err.println(s"[bench] WARNING compact line ${compact.length} B" +
-        " may outgrow the driver's stdout tail window")
-    println(compact)
+
+    emit(state)
+    System.err.println(f"[bench] done in ${elapsedSec}%.0f s (budget $budgetSec%.0f s)")
   }
 }

@@ -172,16 +172,16 @@ object Similarity {
 
   /** Number of DISTINCT ordered candidate pairs an LSH setting generates
     * (after multi-table dedup) — the recall/cost denominator `AnnSweep`
-    * reports. Diagnostic utility: the plain bucket self-join here is fine
-    * for measurement runs; the production path bounds degenerate buckets
-    * via [[boundedBucketPairs]]. */
+    * reports. Routed through [[boundedBucketPairs]] with the same default
+    * cap as [[lshTopK]], so even this diagnostic carries the
+    * degenerate-bucket guard (no unbounded bucket self-join anywhere);
+    * column pruning drops the carried embedding columns before the join,
+    * and the pair set counted is identical to the production candidates. */
   def lshCandidatePairCount(vectors: DataFrame, planes: Int,
-                            tables: Int = 1): Long = {
-    val b = lshBuckets(vectors, planes, tables)
-    b.alias("a").join(b.alias("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("cid"))
+                            tables: Int = 1, bucketCap: Int = 4096): Long = {
+    val withBucket = vectors.join(lshBuckets(vectors, planes, tables), "vec_id")
+    boundedBucketPairs(withBucket, bucketCap)
+      .select(col("qid"), col("cid"))
       .distinct().count()
   }
 
@@ -363,8 +363,12 @@ object Similarity {
     * one integer-scaled mean aggregate over the exploded frame, collected
     * at m·kCodes·d0 rows — driver-literal codebooks, flat lineage like
     * [[kmeansCodebook]]). Init: codeword j of subspace s = vector j's
-    * subvector. A codeword that loses all members keeps its previous
-    * components. Returns (sub, cid, components) rows. */
+    * subvector — which PRESUMES vec_ids are dense from 0 (the same
+    * convention [[kmeansCodebook]] and [[ivfTopK]] use for their
+    * first-k init); a sparse or offset id space is rejected below rather
+    * than silently training fewer codewords. A codeword that loses all
+    * members keeps its previous components.
+    * Returns (sub, cid, components) rows. */
   def pqTrain(vectors: DataFrame, m: Int, kCodes: Int,
               iters: Int): Seq[(Int, Long, Seq[Double])] = {
     val spark = vectors.sparkSession
@@ -380,6 +384,9 @@ object Similarity {
         .collect().toSeq
         .map(r => (r.getInt(1), r.getLong(0), r.getSeq[Double](2)))
         .sortBy(b => (b._1, b._2))
+    require(books.size == m * kCodes,
+      s"pqTrain: init found ${books.size / m} of $kCodes codewords — " +
+        "vec_ids must be dense from 0 (kmeansCodebook/ivfTopK convention)")
     for (_ <- 0 until iters) {
       val asg = pqAssign(subbed, pqBooksDf(spark, books))
       val trained = subbed.join(asg, Seq("vec_id", "sub"))

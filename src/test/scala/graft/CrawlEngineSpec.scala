@@ -253,6 +253,52 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(mFinal.retiredPath.isEmpty) // pending record drained
   }
 
+  test("bulk retire: 50K-url record stays distributed (no driver in-list), lifecycle intact") {
+    import spark.implicits._
+    val dir = tmpDir("bulkretire")
+    runEngine(dir, cfg.copy(maxBatches = 3))
+    val m0 = Snapshots.readCurrent(dir).get
+    val popped0 = Snapshots.readFrontier(spark, m0.bucketPaths)
+      .filter(col("popped")).select("url").collect().map(_.getString(0)).toSet
+    assert(popped0.nonEmpty)
+    // bulk retirement: every fetched url plus enough never-crawlable
+    // synthetic urls to cross RetireInListMax several times over (urls
+    // absent from the frontier are ignored by the frontier rewrite but
+    // stay in the pending record until re-crawled)
+    val nBulk = 50000
+    val bulk = popped0.toSeq ++ (0 until nBulk).map(i => s"https://bulk.example/r$i")
+    CrawlLoop.retire(spark, dir, bulk.toDF("url"), cfg)
+    val m1 = Snapshots.readCurrent(dir).get
+    assert(m1.retiredPath.nonEmpty)
+    assert(spark.read.parquet(m1.retiredPath.get).count() ==
+      nBulk + popped0.size)
+    // the probe a resumed run uses above the threshold: a LEFT-SEMI JOIN
+    // against the retired parquet — the plan must carry no per-url
+    // literals (the old isInCollection form would embed 50K strings)
+    val probe = CrawlLoop.repoppedProbe(spark,
+      Seq(popped0.head).toDF("url"), None, m1.retiredPath)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1000))
+    assert(!plan.contains("isInCollection") && plan.length < 20000,
+      s"probe plan carries literals (${plan.length} chars)")
+    assert(probe.collect().map(_.getString(0)).toSeq == Seq(popped0.head))
+    // resume with an unconstrained budget: every real retired url is
+    // re-popped (re-fetched), restoring cuckoo liveness and shrinking the
+    // record by exactly those urls; the synthetic urls stay pending
+    runEngine(dir, cfg.copy(maxBatches = 6, batchSize = 10000, perHostCap = 10000))
+    val mF = Snapshots.readCurrent(dir).get
+    assert(mF.retiredPath.nonEmpty)
+    val pendingF = spark.read.parquet(mF.retiredPath.get)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(pendingF.size == nBulk)
+    assert(pendingF.forall(_.startsWith("https://bulk.example/")))
+    // a re-crawled victim is live again in the cuckoo view
+    val f = mF.filtersPaths.map(spark.read.parquet).reduce(_ unionByName _)
+    val in = Seq(popped0.head).toDF("url")
+      .withColumn("bucket", Frontier.bucketCol(col("url"), cfg.nBuckets))
+    assert(SeenSet.probeCuckoo(in, f).select("seenish").first().getBoolean(0))
+  }
+
   test("popped-partitioned snapshots: identical crawl, resume, and metrics") {
     // splitSnapshotsByPopped only changes the parquet layout (bucket/popped
     // directory split for pop-scan pruning) — every result must be
