@@ -70,12 +70,11 @@ object Bench {
       System.getProperty("java.io.tmpdir")) + "/graft-bench-warehouse"
 
   private def session(cpus: Int): SparkSession = {
-    // Literal multi-executor mode (north rule: "spark-submit ... at N and
-    // 4N executors"): with SPARK_GRAFT_MASTER_OVERRIDE=local-cluster[...]
-    // (set by the orchestrator, entered via spark-submit — REQUIRED: a
-    // plain-java driver fails executor-side lambda deserialization) this
-    // session becomes a real standalone mini-cluster: every executor its
-    // own JVM, netty shuffle, RPC broadcast, GC sized to its core slice.
+    // Literal multi-executor mode (north rule "spark-submit ... N and 4N
+    // executors"): SPARK_GRAFT_MASTER_OVERRIDE=local-cluster[...] makes
+    // this a real standalone mini-cluster — one JVM per executor, netty
+    // shuffle, RPC broadcast. Must be entered via spark-submit (a plain-
+    // java driver fails executor-side lambda deserialization).
     val masterOverride = sys.env.get("SPARK_GRAFT_MASTER_OVERRIDE")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_TOTAL_CORES", cpus.toString)
     val b0 = SparkSession.builder()
@@ -117,10 +116,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WRITERS", "0"))
       // keep the politeness top-k hash-based with many hosts per task
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8000000")
-      // Codec split (measured, BENCH.md §0): parquet=zstd (durable writes
-      // are bus traffic on tmpfs — trade bytes for compressor CPU that
-      // scales with cores), shuffle=lz4 (zstd cycles sit on the CPU-bound
-      // kernel's 4N critical path)
+      // codec split (measured, BENCH.md §0): parquet=zstd, shuffle=lz4
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
@@ -179,10 +175,9 @@ object Bench {
   }
 
   // ---- measurements (child-side) ----------------------------------------
-  /** Frontier-throughput KERNEL: one pop + link-dedup + insert-or-increment
-    * merge over a pre-materialized frontier (hot-host skew baked in) — the
-    * dataflow the BASELINE metric names, no checkpoint IO.
-    * Returns (urls processed = links deduped + urls popped, seconds). */
+  /** Frontier-throughput KERNEL (the BASELINE metric's dataflow): pop +
+    * link-dedup + insert-or-increment merge over a pre-materialized
+    * skewed frontier, no checkpoint IO. Returns (urls, seconds). */
   private def timedKernel(spark: SparkSession, f: Long, l: Long,
                           reps: Int): (Long, Double) = {
     // perHostCap stays realistic (politeness!): with 16 salts the hot host
@@ -226,8 +221,7 @@ object Bench {
     (l + cfg.batchSize, sec)
   }
 
-  /** Control fixture cache: window probes run many times per JVM; document
-    * generation is setup, not measurement. */
+  /** Control fixture cache (generation is setup, not measurement). */
   private val ctlDocsCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[(String, String)]]()
 
@@ -264,9 +258,8 @@ object Bench {
     }.min
   }
 
-  /** Pure-CPU scaling control: a chained-hash aggregate, no shuffle/IO —
-    * the machine's thread-scaling ceiling (turbo + SMT push it under 1.0
-    * on shared boxes). */
+  /** Pure-CPU scaling control (chained-hash aggregate, no shuffle/IO):
+    * the machine's thread-scaling ceiling. */
   private def timedCpuControl(spark: SparkSession, n: Long, reps: Int): Double = {
     var c: org.apache.spark.sql.Column = col("id")
     (0 until 16).foreach(i => c = xxhash64(c, lit(i)))
@@ -283,29 +276,25 @@ object Bench {
     if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
-  /** One timed crawl: nDocs-doc synthetic web, broad seed set, fixed
-    * superstep budget; state on tmpfs (the measurement isolates the
-    * engine's scaling, not this box's disk). Multi-million-doc corpora
-    * come from a stored bucketed table (`corpusTable`) and each superstep
-    * SCANS it — the realistic shape; small sweep corpora stay cached.
-    * Returns per-superstep (urls scheduled+deduped, seconds). */
+  /** One timed crawl on tmpfs state (isolates the engine's scaling, not
+    * this box's disk). Multi-million-doc corpora come from the stored
+    * bucketed table and each superstep SCANS it — the realistic shape;
+    * small sweep corpora stay cached. Per-superstep (urls, seconds). */
   private def timedCrawl(spark: SparkSession, nDocs: Int, nSeeds: Int,
                          batches: Int, batchSize: Int,
                          corpusTable: Option[String] = None): (Seq[Long], Seq[Double]) = {
     import spark.implicits._
     val stateDir = java.nio.file.Files
       .createTempDirectory(tmpRoot, "graft-bench-crawl").toString
-    // perHostCap = batchSize: politeness off — ~8 synthetic hosts stand in
-    // for a real crawl's millions. hostTopKSpillBound raised to match: the
-    // heap pop (the politeness-sized production path) is the representative
-    // physical form at this fixture's measured slice sizes; the library
-    // default stays conservative (Frontier.popBatch).
+    // perHostCap = batchSize: politeness off (~8 synthetic hosts stand in
+    // for a real crawl's millions); hostTopKSpillBound raised to keep the
+    // heap pop — the politeness-sized production path — as the measured
+    // physical form (library default stays conservative, Frontier.popBatch)
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = batchSize,
       hostTopKSpillBound = Int.MaxValue,
       splitSnapshotsByPopped = sys.env.contains("SPARK_GRAFT_POPPED_SPLIT"),
       maxBatches = batches, nBuckets = 64, saltBuckets = 16, minTokens = 50)
-    // corpus materialized BEFORE the clock starts: the metric is frontier
-    // throughput, not synthetic-corpus generation speed
+    // corpus materialized BEFORE the clock starts (metric = frontier thr)
     val docs = corpusTable match {
       case Some(t) => spark.table(t)
       case None =>
@@ -318,8 +307,7 @@ object Bench {
     val res = CrawlLoop.run(spark, docs, robots, seeds, cfg, stateDir,
       seed = 42L, nDocs = nDocs)
     if (corpusTable.isEmpty) docs.unpersist()
-    // steady-state crawl time: per-superstep elapsed (pop→fetch→parse→
-    // merge→filters→commit), excluding session/corpus setup
+    // per-superstep elapsed, excluding session/corpus setup
     val perBatchSec = res.batches.map(_.elapsedMs / 1e3)
     val perBatchUrls = res.batches.map(b => b.popped + b.linksExtracted)
     // tmpfs hygiene: dead state dirs would sit in RAM for the box's lifetime
@@ -352,11 +340,9 @@ object Bench {
   }
 
   // ---- child-JVM phase entries ------------------------------------------
-  /** Child-JVM entry: ONE phase's measurements at ONE parallelism level,
-    * results to `outPath`. The parent caps the child with
-    * -XX:ActiveProcessorCount=p so GC/JIT/common-pool threads match the
-    * simulated node size (a shared JVM's "2-core" level borrows the full
-    * box's GC threads and overstates N-level throughput). */
+  /** Child-JVM entry: ONE phase at ONE parallelism level, results to
+    * `outPath`. The parent caps the child with -XX:ActiveProcessorCount=p
+    * so GC/JIT/common-pool threads match the simulated node size. */
   private def runLevel(p: Int, outPath: String, phase: String): Unit = {
     val w = new java.io.PrintWriter(outPath)
     try phase match {
@@ -368,8 +354,8 @@ object Bench {
     } finally w.close()
   }
 
-  /** Kernel only — cluster mode (the child JVM is the DRIVER; in-process
-    * thread controls would not probe the executors' scaling). */
+  /** Kernel only — cluster mode (this JVM is the driver; thread controls
+    * in it would not probe the executors' scaling). */
   private def runKernelCluster(p: Int, w: java.io.PrintWriter): Unit = {
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
     val s = session(p)
@@ -383,8 +369,6 @@ object Bench {
     val pLow = pLowEnv
     val kf = sys.env.getOrElse("SPARK_GRAFT_KERNEL_FRONTIER", "4000000").toLong
     val cpuNCtl = sys.env.getOrElse("SPARK_GRAFT_CPU_CONTROL_N", "40000000").toLong
-    // internal reps filter within-window bursts; cross-window drift is the
-    // orchestrator's ABBA pairing + median
     val str = timedParseControl(150000, p, reps = 2)
     val s = session(p)
     val (ku, kt) = timedKernel(s, kf, kf * 2, reps = if (p == pLow) 2 else 3)
@@ -407,13 +391,11 @@ object Bench {
     s.stop()
   }
 
-  /** One long-point rep: priming mini-crawl (untimed — per-JVM codegen/
-    * JIT/parquet-reader warm-up; the metric is steady-state throughput,
-    * like the reference monitor's urls/s, src/monitor.rs:141-156), then
-    * ONE timed crawl of the shared bucketed corpus with per-superstep
-    * timings. Seeds = one full batch so superstep 0 pops at full width;
-    * the parent drops superstep 0 (bootstrap, structurally unlike the
-    * steady state). */
+  /** One long-point rep: priming mini-crawl (untimed per-JVM codegen/JIT
+    * warm-up; the metric is steady-state throughput, like the reference
+    * monitor's urls/s, src/monitor.rs:141-156), then ONE timed crawl of
+    * the shared bucketed corpus. Seeds = one full batch so superstep 0
+    * pops at full width; the parent drops superstep 0 (bootstrap). */
   private def runLooplong(p: Int, w: java.io.PrintWriter): Unit = {
     val (d, b) = longPointEnv.getOrElse(sys.error("looplong: no long point"))
     val table = sys.env.getOrElse("SPARK_GRAFT_CORPUS_TABLE", CorpusTable)
@@ -428,11 +410,19 @@ object Bench {
   }
 
   /** Per-query timings in a dedicated full-width JVM, min of 2 reps per
-    * query forced through full materialization (noop sink), + ANN recall.
-    * Dedicated child = no contention inflation from earlier phases
-    * (BENCH.md §3). */
+    * query forced through full materialization (noop sink), + ANN recall
+    * (no contention from earlier phases, BENCH.md §3). Under
+    * SPARK_GRAFT_QUERIES_BUDGET_SEC (set from the orchestrator's
+    * remaining wall budget) the child degrades gracefully: rep 1 of
+    * every query always runs (a complete map beats a polished partial
+    * one); rep 2s and the ANN recall only while the sub-budget holds —
+    * a min-of-1 tail only ever reads HIGH (one floor sample lost). */
   private def runQueries(w: java.io.PrintWriter): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qBudget = sys.env.get("SPARK_GRAFT_QUERIES_BUDGET_SEC").map(_.toDouble)
+    val qT0 = System.nanoTime()
+    def within(reserveSec: Double): Boolean =
+      qBudget.forall(b => (System.nanoTime() - qT0) / 1e9 < b - reserveSec)
     val s32 = session(32)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Double = {
@@ -442,10 +432,11 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }
-      val sec = math.min(once(), once())
+      val r1 = once()
+      val sec = if (within(45)) math.min(r1, once()) else r1
       w.println(f"q=$name,$sec%.6f")
     }
-    try {
+    if (within(5)) try {
       import graft.ops.Similarity
       val e = s32.read.parquet(s"$sfDir/embeddings.parquet")
       val queriesDf = e.filter(col("vec_id") < 40)
@@ -469,14 +460,13 @@ object Bench {
         f"${(ivf & brute).size.toDouble / brute.size}%.6f,$pqR%.6f")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann_recall: ${e.getMessage}")
-    }
+    } else System.err.println("[bench] ann_recall skipped (queries sub-budget)")
     s32.stop()
   }
 
   // ---- child spawning ----------------------------------------------------
-  /** App jar for spark-submit children: standalone executors fetch classes
-    * from the submitted jar — the same distribution path a real cluster
-    * uses; sbt's exploded classes dir is jarred once per run. */
+  /** App jar for spark-submit children (the class-distribution path a
+    * real cluster uses); sbt's exploded classes dir is jarred once. */
   private lazy val appJar: String = {
     val root = java.nio.file.Paths.get(
       Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
@@ -502,11 +492,10 @@ object Bench {
   private val liveChildren =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Process]()
 
-  /** Launch one (level, phase) child in its own capped JVM and return its
-    * result lines. Cluster children (extraEnv carries the master override)
-    * go through spark-submit. Child stdout+stderr go to a file replayed
-    * CAPPED onto our stderr — the parent's stdout carries ONLY compact
-    * artifact lines, and inter-line stderr noise stays bounded. */
+  /** Launch one (level, phase) child in its own capped JVM; cluster
+    * children (master override in extraEnv) go through spark-submit.
+    * Child output goes to a file replayed CAPPED onto our stderr — the
+    * parent's stdout carries ONLY compact artifact lines. */
   private def spawnChild(p: Int, phase: String,
                          extraEnv: Map[String, String] = Map.empty): Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -604,8 +593,9 @@ object Bench {
     (v("ku").toLong, v("kt").toDouble)
   }
 
-  private def spawnQueries(): (Seq[(String, Double)], Option[(Double, Double, Double)]) = {
-    val lines = spawnChild(32, "queries")
+  private def spawnQueries(budgetSec: Double): (Seq[(String, Double)], Option[(Double, Double, Double)]) = {
+    val lines = spawnChild(32, "queries",
+      Map("SPARK_GRAFT_QUERIES_BUDGET_SEC" -> f"$budgetSec%.0f"))
     val qs = lines.filter(_.startsWith("q=")).map { l =>
       val Array(n, t) = l.drop(2).split(","); (n, t.toDouble)
     }
@@ -670,12 +660,21 @@ object Bench {
     installShutdownHook()
     emit(state) // a floor line exists from second 0
 
-    // reserves: time still owed to not-yet-run criterion phases — optional
-    // units only run if the budget holds after paying them
-    def reserve: Double =
-      (if (doKernel && state.kernelPairs.isEmpty) kernelPairCost.sec else 0.0) +
-        (if (doQueries && state.queries.isEmpty) queriesCost.sec else 0.0)
-    def gate(what: String, cost: Double, mandatory: Boolean = false): Boolean = {
+    // Reserves: time owed to not-yet-run criterion phases — optional units
+    // run only if the budget holds after paying them. PRIORITY (what a
+    // squeezed window keeps): loop pairs — the north-rule criterion needs
+    // >= 2 bracketed ratio samples — then kernel pair 1 (the BASELINE
+    // metric), then the query child (its sub-budget degrades min-of-2 to
+    // min-of-1 before dropping), then supplementary. So loop pairs reserve
+    // ONLY kernel pair 1; kernel pairs 2+ and supplementary phases also
+    // reserve the query child. Measured costs (first 1200 s validation
+    // run): loop pair ~470 s loaded, kernel ~150 s, queries ~280 s.
+    def kernelReserve: Double =
+      if (doKernel && state.kernelPairs.isEmpty) kernelPairCost.sec else 0.0
+    def queriesReserve: Double =
+      if (doQueries && state.queries.isEmpty) queriesCost.sec else 0.0
+    def gate(what: String, cost: Double, mandatory: Boolean = false,
+             reserve: => Double = kernelReserve + queriesReserve): Boolean = {
       val need = cost * 1.1 + (if (mandatory) 0.0 else reserve)
       val ok = mandatory || remainingSec > need
       if (!ok) System.err.println(
@@ -736,14 +735,14 @@ object Bench {
           val rs = state.loopPairs.map(pairRatio)
           // escalate past nPairs only while the window is visibly noisy
           // (marginal median / wide spread / < 2 clean brackets) AND the
-          // budget still covers a pair after the reserves (BENCH.md §0
-          // item 6: escalation buys samples, the budget keeps the
-          // artifact alive)
+          // budget covers a pair after full reserves (BENCH.md §0 item 6)
           val noisy = rs.nonEmpty && (median(rs) < 0.85 ||
             rs.max - rs.min > 0.25 ||
             state.loopPairs.count(p => pairClean(p.ctl, p.ctlHi)) < 2)
           go =
-            if (i < nPairs) gate(s"loop pair ${i + 1}", loopPairCost.sec)
+            if (i < nPairs)
+              gate(s"loop pair ${i + 1}", loopPairCost.sec,
+                reserve = kernelReserve)
             else if (i < maxPairs && noisy) {
               val fits = gate(s"escalation pair ${i + 1}", loopPairCost.sec)
               if (fits) System.err.println(
@@ -777,13 +776,14 @@ object Bench {
       }
     }
 
-    // ---- phase 3 (CRITERION): per-query timings + ANN recall in a
-    // dedicated full-width child. Attempted unless the budget is already
-    // deeply blown (prefer rc 0 with what we have). ----
-    if (doQueries && remainingSec > -0.5 * queriesCost.sec) {
+    // ---- phase 3 (CRITERION): query child under a sub-budget derived
+    // from what's left (see runQueries); attempted whenever a rep-1
+    // sweep could still fit ----
+    if (doQueries && remainingSec > 45) {
+      val subBudget = math.max(100.0, remainingSec - 30)
       queriesCost.timed {
         phaseTry("queries") {
-          val (qs, ann) = spawnQueries()
+          val (qs, ann) = spawnQueries(subBudget)
           state.queries = qs
           state.ann = ann
         }

@@ -166,6 +166,18 @@ object QueriesData {
           col("rank").cast("long").as("rank"), col("sim"))
     }),
 
+    // IVF-PQ composition (Jégou et al. 2011 §V): IVF probes restrict the
+    // scan to 4 of 16 cells, PQ-ADC scores the candidates from codes —
+    // the memory-bound ANN tier with the inverted-file scan bound on top
+    // (q42's probe plan + q53's LUT plan composed)
+    "q54_ivfpq_ann" -> ((s, d) => {
+      val e = tbl(s, d, "embeddings")
+      Similarity.ivfpqTopK(e.filter(col("vec_id") < 40), e,
+          kCells = 16, nprobe = 4, m = 16, kCodes = 64, iters = 2, k = 3)
+        .select(col("vec_id"), col("nn_id"),
+          col("rank").cast("long").as("rank"), col("sim"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     "q30_media_meta" -> ((s, d) =>
       MultiModal.metaOnly(
@@ -498,6 +510,50 @@ object QueriesData {
         "qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn FROM embeddings WHERE vec_id < 40), " +
         "sims AS (SELECT s.qid, s.vec_id AS nid, (s.dots::DOUBLE / 1048576.0) / (q.qn * sqrt(s.n2s::DOUBLE / 1048576.0)) AS sim " +
         "FROM scored s JOIN qn q USING (qid) WHERE s.qid <> s.vec_id) " +
+        "SELECT qid AS vec_id, nid AS nn_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
+        "FROM sims QUALIFY rank <= 3")
+    },
+
+    "q54_ivfpq_ann" -> {
+      // q53's PQ twin (subv/books/codes/lut, integer-scaled BIGINT ADC)
+      // composed with q42's IVF twin (cents/asg/probes): candidates are
+      // the probed cells' members, scored from codes only
+      def cosE(a: String, b: String): String =
+        s"list_dot_product($a, $b) / " +
+          s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      def score(v: String, c: String): String =
+        s"list_dot_product($v.se, $c.emb) - list_dot_product($c.emb, $c.emb)/2"
+      def iter(prev: String, asg: String, sums: String, next: String): String =
+        s"$asg AS (SELECT v.vec_id, v.sub, c.cid AS code FROM subv v JOIN $prev c USING (sub) " +
+          s"QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY ${score("v", "c")} DESC, c.cid ASC) = 1), " +
+          s"$sums AS (SELECT a.sub, a.code, t.i AS ord, " +
+          "SUM(CAST(round(v.se[t.i] * 1048576.0) AS BIGINT)) AS s, COUNT(*) AS n " +
+          s"FROM $asg a JOIN subv v ON v.vec_id = a.vec_id AND v.sub = a.sub, range(1, 5) t(i) GROUP BY a.sub, a.code, t.i), " +
+          s"${next}_new AS (SELECT sub, code AS cid, list(s::DOUBLE / n / 1048576.0 ORDER BY ord) AS emb FROM $sums GROUP BY sub, code), " +
+          s"$next AS (SELECT p.sub, p.cid, coalesce(t.emb, p.emb) AS emb FROM $prev p LEFT JOIN ${next}_new t ON t.sub = p.sub AND t.cid = p.cid)"
+      ("WITH subs AS (SELECT unnest(generate_series(0, 15)) AS sub), " +
+        "subv AS (SELECT e.vec_id, s.sub, list_transform(generate_series(1, 4), i -> e.embedding[s.sub * 4 + i]::DOUBLE) AS se FROM embeddings e, subs s), " +
+        "b0 AS (SELECT sub, vec_id AS cid, se AS emb FROM subv WHERE vec_id < 64), " +
+        iter("b0", "a1", "s1", "b1") + ", " +
+        iter("b1", "a2", "s2", "b2") + ", " +
+        "codes AS (SELECT v.vec_id, v.sub, c.cid AS code FROM subv v JOIN b2 c USING (sub) " +
+        s"QUALIFY row_number() OVER (PARTITION BY v.vec_id, v.sub ORDER BY ${score("v", "c")} DESC, c.cid ASC) = 1), " +
+        "lut AS (SELECT v.vec_id AS qid, v.sub, c.cid AS code, " +
+        "CAST(round(list_dot_product(v.se, c.emb) * 1048576.0) AS BIGINT) AS dotm, " +
+        "CAST(round(list_dot_product(c.emb, c.emb) * 1048576.0) AS BIGINT) AS n2m " +
+        "FROM subv v JOIN b2 c USING (sub) WHERE v.vec_id < 40), " +
+        "cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id < 16), " +
+        s"asg AS (SELECT e.vec_id, c.cid AS cell FROM embeddings e, cents c " +
+        s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosE("e.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) = 1), " +
+        s"probes AS (SELECT q.vec_id AS qid, c.cid AS cell FROM embeddings q, cents c WHERE q.vec_id < 40 " +
+        s"QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cosE("q.embedding::DOUBLE[]", "c.emb")} DESC, c.cid ASC) <= 4), " +
+        "cand AS (SELECT p.qid, m.vec_id FROM probes p JOIN asg m ON m.cell = p.cell WHERE p.qid <> m.vec_id), " +
+        "scored AS (SELECT c.qid, c.vec_id, SUM(l.dotm) AS dots, SUM(l.n2m) AS n2s " +
+        "FROM cand c JOIN codes cd ON cd.vec_id = c.vec_id JOIN lut l ON l.qid = c.qid AND l.sub = cd.sub AND l.code = cd.code " +
+        "GROUP BY c.qid, c.vec_id), " +
+        "qn AS (SELECT vec_id AS qid, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn FROM embeddings WHERE vec_id < 40), " +
+        "sims AS (SELECT s.qid, s.vec_id AS nid, (s.dots::DOUBLE / 1048576.0) / (q.qn * sqrt(s.n2s::DOUBLE / 1048576.0)) AS sim " +
+        "FROM scored s JOIN qn q USING (qid)) " +
         "SELECT qid AS vec_id, nid AS nn_id, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS BIGINT) AS rank, round(sim, 4) AS sim " +
         "FROM sims QUALIFY rank <= 3")
     },

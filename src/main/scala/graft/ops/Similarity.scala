@@ -450,6 +450,58 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** IVF-PQ composed ANN (Jégou et al. 2011 §V / the FAISS IVFPQ layout):
+    * IVF restricts the scan to `nprobe` cells' members, PQ-ADC scores
+    * those candidates from their CODES — both halves already exist
+    * ([[ivfTopK]]'s probe plan, [[pqTopK]]'s LUT plan); the composition
+    * inserts the probe join before the ADC join, so the scoring pass
+    * touches nprobe/kCells of the code table and the raw embeddings
+    * never enter the hot path at all. Same determinism discipline:
+    * integer-scaled LUT partials summed as longs, broadcast probes/LUT/
+    * norms, codes never shuffle. Output: (vec_id, nn_id, rank, sim) —
+    * sim rounded to 4 dp, rank ties by nn_id asc, self excluded. */
+  def ivfpqTopK(queries: DataFrame, corpus: DataFrame, kCells: Int,
+                nprobe: Int, m: Int, kCodes: Int, iters: Int,
+                k: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < kCells)
+    val cells = ivfAssign(corpus, centroids)
+    val books = pqTrain(corpus, m, kCodes, iters)
+    val d0 = books.head._3.size
+    val codes = pqEncode(corpus, books)
+    val probes = queries
+      .withColumn("qn", norm(col("embedding")))
+      .crossJoin(broadcast(
+        centroids.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          norm(col("embedding")).as("cn"))))
+      .withColumn("csim", dot(col("embedding"), col("ce")) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val lut = pqSubbed(queries, m, d0)
+      .join(broadcast(pqBooksDf(queries.sparkSession, books)), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cid").as("code"),
+        round(dot(col("se"), col("ce")) * PqScale).cast("long").as("dotm"),
+        round(dot(col("ce"), col("ce")) * PqScale).cast("long").as("n2m"))
+    val qnorms = queries.select(col("vec_id").as("qid"),
+      norm(col("embedding")).as("qn"))
+    codes.join(cells, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dotm")).as("dots"), sum(col("n2m")).as("n2s"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(broadcast(qnorms), "qid")
+      .withColumn("sim",
+        (col("dots").cast("double") / PqScale) /
+          (col("qn") * sqrt(col("n2s").cast("double") / PqScale)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("vec_id").as("nn_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) with
     * sim ≥ threshold, id_a < id_b — brute within LSH buckets, degenerate
     * buckets bounded by `bucketCap`. */
