@@ -443,17 +443,18 @@ object Bench {
       // q28's sweep-chosen setting (SURVEY §8.3): 8 tables x 5 planes
       val lsh = pairs(Similarity.lshTopK(e, planes = 5, k = 3, tables = 8))
       val ivf = pairs(Similarity.ivfTopK(queriesDf, e, kCells = 16, nprobe = 4, k = 3))
-      // PQ recall in its OWN guard: a PQ-only regression must not erase
-      // the lsh/ivf numbers from the artifact (-1.0 marks "pq failed")
-      val pqR = try {
-        val pq = pairs(Similarity.pqTopK(queriesDf, e, m = 16, kCodes = 64,
-          iters = 2, k = 3))
-        (pq & brute).size.toDouble / brute.size
-      } catch { case ex: Throwable =>
-        System.err.println(s"[bench] pq_recall: ${ex.getMessage}"); -1.0
-      }
+      // PQ recalls in their OWN guards: a PQ-only regression must not
+      // erase the lsh/ivf numbers from the artifact (-1.0 marks failed)
+      def guarded(tag: String)(df: => org.apache.spark.sql.DataFrame): Double =
+        try (pairs(df) & brute).size.toDouble / brute.size
+        catch { case ex: Throwable =>
+          System.err.println(s"[bench] $tag: ${ex.getMessage}"); -1.0 }
+      val pqR = guarded("pq_recall")(
+        Similarity.pqTopK(queriesDf, e, m = 16, kCodes = 64, iters = 2, k = 3))
+      val ivfpqR = guarded("ivfpq_recall")(Similarity.ivfpqTopK(queriesDf, e,
+        kCells = 16, nprobe = 4, m = 16, kCodes = 64, iters = 2, k = 3))
       w.println(f"ann=${(lsh & brute).size.toDouble / brute.size}%.6f," +
-        f"${(ivf & brute).size.toDouble / brute.size}%.6f,$pqR%.6f")
+        f"${(ivf & brute).size.toDouble / brute.size}%.6f,$pqR%.6f,$ivfpqR%.6f")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann_recall: ${e.getMessage}")
     } else System.err.println("[bench] ann_recall skipped (queries sub-budget)")
@@ -589,15 +590,16 @@ object Bench {
     (v("ku").toLong, v("kt").toDouble)
   }
 
-  private def spawnQueries(budgetSec: Double): (Seq[(String, Double)], Option[(Double, Double, Double)]) = {
+  private def spawnQueries(budgetSec: Double): (Seq[(String, Double)], Option[(Double, Double, Double, Double)]) = {
     val lines = spawnChild(32, "queries",
       Map("SPARK_GRAFT_QUERIES_BUDGET_SEC" -> f"$budgetSec%.0f"))
     val qs = lines.filter(_.startsWith("q=")).map { l =>
       val Array(n, t) = l.drop(2).split(","); (n, t.toDouble)
     }
     val ann = lines.find(_.startsWith("ann=")).map { l =>
-      val Array(a, b, c) = l.drop(4).split(",")
-      (a.toDouble, b.toDouble, c.toDouble)
+      val f = l.drop(4).split(",")
+      (f(0).toDouble, f(1).toDouble, f(2).toDouble,
+        f.lift(3).map(_.toDouble).getOrElse(-1.0))
     }
     (qs, ann)
   }
@@ -827,7 +829,9 @@ object Bench {
       if (i % 2 == 1) (run(execsLow), run(execsHigh))
       else { val h = run(execsHigh); (run(execsLow), h) }
     if (clusterPairsN > 0) {
-      val nCk = 2
+      // kernel pairs in the cluster phase; 0 lets a sample-only run go
+      // straight to the loop point (quiet-window hunting, BENCH.md §1b)
+      val nCk = sys.env.getOrElse("SPARK_GRAFT_CLUSTER_KERNEL_PAIRS", "2").toInt
       var i = 0
       var go = gate("cluster kernel pair 1", clusterKernelCost.sec,
         mandatory = clusterOnly)

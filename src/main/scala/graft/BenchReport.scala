@@ -54,7 +54,7 @@ private[graft] object BenchReport {
     var loopPairs: Vector[LoopPair] = Vector.empty
     var kernelPairs: Vector[(KRes, KRes)] = Vector.empty
     var queries: Seq[(String, Double)] = Seq.empty
-    var ann: Option[(Double, Double, Double)] = None
+    var ann: Option[(Double, Double, Double, Double)] = None
     var sweepN: Seq[(Int, Int, Long, Double)] = Seq.empty
     var sweep4: Seq[(Int, Int, Long, Double)] = Seq.empty
     var clusterKernelPairs: Vector[((Long, Double), (Long, Double))] = Vector.empty
@@ -212,8 +212,8 @@ private[graft] object BenchReport {
       "\"" + k.takeWhile(_ != '_') + f"\":$v%.2f" }.mkString("{", ",", "}")
     val total = s.queries.map(_._2).sum
     val annStr = s.ann
-      .map { case (l, i, p) =>
-        f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f,"pq_q53":$p%.3f}""" }
+      .map { case (l, i, p, c) =>
+        f""","ann_recall":{"lsh_q28":$l%.3f,"ivf_q42":$i%.3f,"pq_q53":$p%.3f,"ivfpq_q54":$c%.3f}""" }
       .getOrElse("")
 
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "120000").toInt

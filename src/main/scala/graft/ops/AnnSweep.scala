@@ -69,6 +69,16 @@ object AnnSweep {
       println(f"pq m=$m%2d kcodes=$kc%3d recall@$k=$recall%.3f " +
         f"compression=${compress}%.0fx sec=$sec%.1f")
     }
+    // IVF-PQ composition (q54 default): probe loss × quantization loss —
+    // the scan fraction drops to nprobe/kCells on top of PQ's 16× bytes
+    Seq((4, 16), (8, 16)).foreach { case (nprobe, kCells) =>
+      val t0 = System.nanoTime()
+      val c = pairsOf(Similarity.ivfpqTopK(queries, e, kCells, nprobe,
+        m = 16, kCodes = 64, iters = 2, k = k))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"ivfpq nprobe=$nprobe%d/$kCells%d m=16 kcodes=64 " +
+        f"recall@$k=${(c & brute).size.toDouble / brute.size}%.3f sec=$sec%.1f")
+    }
     spark.stop()
   }
 }
