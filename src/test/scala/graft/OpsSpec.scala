@@ -340,6 +340,32 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(s - bruteSims(k0)) <= 1e-4, s"$k0: $s vs ${bruteSims(k0)}") }
   }
 
+  test("ivfpq: nprobe = kCells equals plain PQ; partial probe never beats it") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    // probing every cell makes the candidate set all non-self vectors, so
+    // the composition must reproduce pqTopK exactly (same books, same ADC
+    // integer partials) — the ivfTopK==brute assertion's PQ analog
+    val full = Similarity.ivfpqTopK(vecs, vecs, kCells = 4, nprobe = 4,
+      m = 2, kCodes = 4, iters = 2, k = 3).collect().map(key).toSet
+    val pq = Similarity.pqTopK(vecs, vecs, m = 2, kCodes = 4, iters = 2, k = 3)
+      .collect().map(key).toSet
+    assert(full == pq)
+    // a partial probe scans a subset of cells: each query's best ADC sim
+    // can only drop or hold, never improve
+    val fullBest = Similarity.ivfpqTopK(vecs, vecs, kCells = 4, nprobe = 4,
+        m = 2, kCodes = 4, iters = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val partBest = Similarity.ivfpqTopK(vecs, vecs, kCells = 4, nprobe = 2,
+        m = 2, kCodes = 4, iters = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    partBest.foreach { case (q, s) => assert(s <= fullBest(q) + 1e-9) }
+  }
+
   test("rolling fingerprint: in-range, content-sensitive, dup-invariant") {
     val f0 = TextOps.rollingFingerprint(texts(0)._2, 8)
     assert(f0 >= 0 && f0 < (1L << 31) - 1)
