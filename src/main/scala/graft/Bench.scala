@@ -51,9 +51,8 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200").toDouble
   private def remainingSec: Double = budgetSec - elapsedSec
 
-  /** Measured-cost tracker for one phase-unit type: starts at a prior,
-    * then tracks the MAX observed unit wall (gating must be pessimistic —
-    * a loaded box only gets slower within a run). */
+  /** Measured cost of one phase-unit type: a prior, then the MAX
+    * observed unit wall (gating must be pessimistic). */
   private final class Cost(prior: Double) {
     @volatile private var est = prior
     def sec: Double = est
@@ -173,8 +172,7 @@ object Bench {
 
   // ---- measurements (child-side) ----------------------------------------
   /** Frontier-throughput KERNEL (the BASELINE metric's dataflow): pop +
-    * link-dedup + insert-or-increment merge over a pre-materialized
-    * skewed frontier, no checkpoint IO. Returns (urls, seconds). */
+    * link-dedup + merge over a skewed frontier, no checkpoint IO. */
   private def timedKernel(spark: SparkSession, f: Long, l: Long,
                           reps: Int): (Long, Double) = {
     // perHostCap stays realistic (politeness): hot host ≤ 16*cap rows
@@ -221,11 +219,9 @@ object Bench {
   private val ctlDocsCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[(String, String)]]()
 
-  /** Pure string/parse scaling control — NO Spark: the loop's per-doc work
-    * (regex link extraction + URI admission) on a plain thread pool. Its
-    * N→4N efficiency is the MACHINE's same-window ceiling for the
-    * string-pipeline workload class — the denominator that decides whether
-    * loop inefficiency is the engine's or the box's (BENCH.md §2.1). */
+  /** Pure string/parse scaling control — NO Spark: the loop's per-doc
+    * work (regex links + URI admission) on a plain thread pool; its N→4N
+    * efficiency is the MACHINE's same-window ceiling (BENCH.md §2.1). */
   private def timedParseControl(nDocs: Int, threads: Int, reps: Int): Double = {
     val docs = ctlDocsCache.computeIfAbsent(nDocs, n =>
       (0L until n.toLong).toArray.map { i =>
@@ -272,20 +268,19 @@ object Bench {
     if (new java.io.File("/dev/shm").isDirectory) java.nio.file.Paths.get("/dev/shm")
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
 
-  /** One timed crawl on tmpfs state (isolates the engine's scaling, not
-    * this box's disk). Multi-million-doc corpora come from the stored
-    * bucketed table and each superstep SCANS it — the realistic shape;
-    * small sweep corpora stay cached. Per-superstep (urls, seconds). */
+  /** One timed crawl on tmpfs state; multi-million-doc corpora come from
+    * the stored bucketed table and each superstep SCANS it (the realistic
+    * shape); small sweep corpora stay cached. Per-superstep (urls, s). */
   private def timedCrawl(spark: SparkSession, nDocs: Int, nSeeds: Int,
                          batches: Int, batchSize: Int,
                          corpusTable: Option[String] = None): (Seq[Long], Seq[Double]) = {
     import spark.implicits._
     val stateDir = java.nio.file.Files
       .createTempDirectory(tmpRoot, "graft-bench-crawl").toString
-    // perHostCap = batchSize: politeness off (~8 synthetic hosts stand in
-    // for a real crawl's millions); hostTopKSpillBound raised to keep the
-    // heap pop — the politeness-sized production path — as the measured
-    // physical form (library default stays conservative, Frontier.popBatch)
+    // perHostCap = batchSize: politeness off (~8 synthetic hosts);
+    // hostTopKSpillBound raised so the heap pop — the politeness-sized
+    // production path — stays the measured form (library default is
+    // conservative, Frontier.popBatch)
     val cfg = CrawlConfig(batchSize = batchSize, perHostCap = batchSize,
       hostTopKSpillBound = Int.MaxValue,
       splitSnapshotsByPopped = sys.env.contains("SPARK_GRAFT_POPPED_SPLIT"),
@@ -658,15 +653,13 @@ object Bench {
     installShutdownHook()
     emit(state) // a floor line exists from second 0
 
-    // Reserves: time owed to not-yet-run criterion phases — optional units
-    // run only if the budget holds after paying them. PRIORITY (what a
-    // squeezed window keeps): loop pairs — the north-rule criterion needs
-    // >= 2 bracketed ratio samples — then kernel pair 1 (the BASELINE
-    // metric), then the query child (its sub-budget degrades min-of-2 to
-    // min-of-1 before dropping), then supplementary. So loop pairs reserve
-    // ONLY kernel pair 1; kernel pairs 2+ and supplementary phases also
-    // reserve the query child. Measured costs (first 1200 s validation
-    // run): loop pair ~470 s loaded, kernel ~150 s, queries ~280 s.
+    // Reserves: time owed to not-yet-run criterion phases — optional
+    // units run only if the budget holds after paying them. PRIORITY
+    // (what a squeezed window keeps): loop pairs (the criterion needs
+    // >= 2 bracketed samples) > kernel pair 1 (the BASELINE metric) >
+    // the query child (its sub-budget degrades before dropping) >
+    // supplementary. So loop pairs reserve ONLY kernel pair 1; kernel
+    // pairs 2+ and supplementary also reserve the query child.
     def kernelReserve: Double =
       if (doKernel && state.kernelPairs.isEmpty) kernelPairCost.sec else 0.0
     def queriesReserve: Double =
@@ -711,6 +704,12 @@ object Bench {
       val gen = phaseTry("corpus-gen")(writeCorpusTable(CorpusTable, d))
       if (gen.isDefined) {
         state.longPoint = Some((d, b))
+        // settle after the full-box corpus write: its teardown crushes a
+        // 2-thread control taken immediately after (a 0.144 pre-bracket
+        // against a 0.977 post, BENCH.md §2.1b) and unfairly dirties
+        // pair 1 — one discarded probe + a short sleep decays the state
+        Thread.sleep(5000)
+        val _ = ctlWindowEff()
         var lastCtl = ctlWindowEff()
         var i = 0
         var go = true
