@@ -215,8 +215,7 @@ object Bench {
     (l + cfg.batchSize, sec)
   }
 
-  /** Control fixture cache (generation is setup, not measurement). */
-  private val ctlDocsCache =
+  private val ctlDocsCache = // probe fixtures: generation is setup
     new java.util.concurrent.ConcurrentHashMap[Int, Array[(String, String)]]()
 
   /** Pure string/parse scaling control — NO Spark: the loop's per-doc
@@ -310,7 +309,7 @@ object Bench {
     (perBatchUrls, perBatchSec)
   }
 
-  private def forceEval(df: DataFrame): Unit =
+  private def forceEval(df: DataFrame): Unit = // full materialization
     df.write.format("noop").mode("overwrite").save()
 
   private def pLowEnv: Int = sys.env.getOrElse("SPARK_GRAFT_P_LOW", "2").toInt
