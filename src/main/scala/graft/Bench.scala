@@ -43,7 +43,6 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   import BenchReport._
-
   // ---- wall-clock budget ------------------------------------------------
   private val benchT0 = System.nanoTime()
   private def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
